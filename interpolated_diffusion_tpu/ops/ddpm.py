@@ -1,0 +1,210 @@
+"""DDPM/DDIM core math as pure JAX functions.
+
+Capability parity with reference src/diffusion/ddpm.py (forward noising,
+x0-from-eps, deterministic+stochastic DDIM step, DDPM ancestral step, timestep
+subsequencing, full reverse loops with keyframe-masked noise). TPU-native
+design: reverse loops are `jax.lax.scan` over a statically-shaped timestep
+table so the whole sampler compiles into one XLA program; randomness is
+explicit `jax.random` key threading.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import DiffusionSchedule
+
+
+def _gather(table: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Gather per-timestep coefficients and right-pad dims for broadcasting.
+
+    t may be [B] (per-sample timestep) or [B, T] (per-token timestep).
+    """
+    out = table[t]
+    while out.ndim < ndim:
+        out = out[..., None]
+    return out
+
+
+def q_sample(
+    x0: jnp.ndarray,
+    t: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    noise: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward noising: x_t = sqrt(a_bar_t) x0 + sqrt(1-a_bar_t) eps."""
+    if noise is None:
+        if key is None:
+            raise ValueError("q_sample needs either explicit noise or a PRNG key")
+        noise = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+    sab = _gather(schedule.sqrt_alpha_bar, t, x0.ndim)
+    somab = _gather(schedule.sqrt_one_minus_alpha_bar, t, x0.ndim)
+    return sab * x0 + somab * noise, noise
+
+
+def predict_x0_from_eps(
+    xt: jnp.ndarray, eps: jnp.ndarray, t: jnp.ndarray, schedule: DiffusionSchedule
+) -> jnp.ndarray:
+    sab = _gather(schedule.sqrt_alpha_bar, t, xt.ndim)
+    somab = _gather(schedule.sqrt_one_minus_alpha_bar, t, xt.ndim)
+    return (xt - somab * eps) / jnp.maximum(sab, 1e-8)
+
+
+def ddim_step(
+    xt: jnp.ndarray,
+    eps: jnp.ndarray,
+    t: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    eta: float = 0.0,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """One DDIM update from t to t_prev (deterministic when eta == 0)."""
+    ab_t = _gather(schedule.alpha_bar, t, xt.ndim)
+    ab_prev = _gather(schedule.alpha_bar, t_prev, xt.ndim)
+    x0 = (xt - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
+    if eta == 0.0:
+        return jnp.sqrt(ab_prev) * x0 + jnp.sqrt(1.0 - ab_prev) * eps
+    sigma = (
+        eta
+        * jnp.sqrt((1.0 - ab_prev) / (1.0 - ab_t))
+        * jnp.sqrt(1.0 - ab_t / ab_prev)
+    )
+    if key is None:
+        raise ValueError("stochastic DDIM (eta>0) needs a PRNG key")
+    noise = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+    return (
+        jnp.sqrt(ab_prev) * x0
+        + jnp.sqrt(jnp.maximum(1.0 - ab_prev - sigma**2, 0.0)) * eps
+        + sigma * noise
+    )
+
+
+def ddpm_step(
+    xt: jnp.ndarray,
+    eps: jnp.ndarray,
+    t: jnp.ndarray,
+    schedule: DiffusionSchedule,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """One ancestral DDPM update; adds no noise at t == 0."""
+    betas = _gather(schedule.betas, t, xt.ndim)
+    alphas = _gather(schedule.alphas, t, xt.ndim)
+    ab = _gather(schedule.alpha_bar, t, xt.ndim)
+    somab = jnp.sqrt(1.0 - ab)
+    mean = (1.0 / jnp.sqrt(alphas)) * (xt - (betas / somab) * eps)
+    if key is None:
+        return mean  # caller guarantees t == 0
+    noise = jax.random.normal(key, xt.shape, dtype=xt.dtype)
+    # Zero the noise where t == 0 (jit-friendly branchless form of the
+    # reference's `if torch.all(t == 0)` early return).
+    is_zero = _gather(jnp.arange(schedule.n_timesteps) == 0, t, xt.ndim)
+    return mean + jnp.where(is_zero, 0.0, jnp.sqrt(betas) * noise)
+
+
+def make_timesteps(n_train: int, steps: int, schedule: str = "linear") -> np.ndarray:
+    """Descending timestep subsequence (host-side, static).
+
+    Matches the reference's linear / quadratic / sqrt spacings including the
+    dedup + forced-{0, n_train-1} endpoints, returned high-to-low.
+    """
+    if steps <= 1:
+        return np.array([n_train - 1, 0], dtype=np.int32)
+    if steps >= n_train:
+        return np.arange(n_train - 1, -1, -1, dtype=np.int32)
+    if schedule == "quadratic":
+        t = np.linspace(0.0, 1.0, steps)
+        times = (t * t * (n_train - 1)).astype(np.int64)
+    elif schedule == "sqrt":
+        t = np.linspace(0.0, 1.0, steps)
+        times = (np.sqrt(t) * (n_train - 1)).astype(np.int64)
+    else:
+        times = np.linspace(0, n_train - 1, steps).astype(np.int64)
+    times = np.unique(times)
+    if times[0] != 0:
+        times = np.concatenate([[0], times])
+    if times[-1] != n_train - 1:
+        times = np.concatenate([times, [n_train - 1]])
+    return times[::-1].astype(np.int32).copy()
+
+
+ModelFn = Callable[..., jnp.ndarray]
+
+
+def ddim_sample(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    steps: int,
+    *,
+    eta: float = 0.0,
+    time_spacing: str = "linear",
+    keep_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full DDIM reverse loop as a single lax.scan.
+
+    model_fn(x_t, t) -> eps, closed over params/conditioning by the caller.
+    keep_mask ([B, T] bool): positions zeroed after every step, mirroring the
+    reference's keyframe-masked noise (ddim_sample in ddpm.py).
+    """
+    times = jnp.asarray(make_timesteps(schedule.n_timesteps, steps, time_spacing))
+    B = shape[0]
+    key, k_init = jax.random.split(key)
+    xt = jax.random.normal(k_init, shape, dtype=jnp.float32)
+    if keep_mask is not None:
+        xt = xt * (~keep_mask)[..., None]
+
+    t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)  # [S, 2]
+    step_keys = jax.random.split(key, t_pairs.shape[0])
+
+    def body(x, inp):
+        (t_now, t_prev), k = inp
+        t_b = jnp.full((B,), t_now, dtype=jnp.int32)
+        tp_b = jnp.full((B,), t_prev, dtype=jnp.int32)
+        eps = model_fn(x, t_b)
+        if eta == 0.0:
+            x = ddim_step(x, eps, t_b, tp_b, schedule, eta=0.0)
+        else:
+            x = ddim_step(x, eps, t_b, tp_b, schedule, eta=eta, key=k)
+        if keep_mask is not None:
+            x = x * (~keep_mask)[..., None]
+        return x, None
+
+    xt, _ = jax.lax.scan(body, xt, (t_pairs, step_keys))
+    return xt
+
+
+def ddpm_sample(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    *,
+    keep_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full ancestral DDPM reverse loop as a single lax.scan."""
+    n = schedule.n_timesteps
+    B = shape[0]
+    key, k_init = jax.random.split(key)
+    xt = jax.random.normal(k_init, shape, dtype=jnp.float32)
+    if keep_mask is not None:
+        xt = xt * (~keep_mask)[..., None]
+    times = jnp.arange(n - 1, -1, -1, dtype=jnp.int32)
+    step_keys = jax.random.split(key, n)
+
+    def body(x, inp):
+        t_now, k = inp
+        t_b = jnp.full((B,), t_now, dtype=jnp.int32)
+        eps = model_fn(x, t_b)
+        x = ddpm_step(x, eps, t_b, schedule, key=k)
+        if keep_mask is not None:
+            x = x * (~keep_mask)[..., None]
+        return x, None
+
+    xt, _ = jax.lax.scan(body, xt, (times, step_keys))
+    return xt
