@@ -1,0 +1,115 @@
+"""Benchmark: end-to-end samples/sec at T=64, K=8, 20-step DDIM.
+
+The BASELINE.json north-star metric: Stage-1 keypoint DDIM (20 steps, K=8
+tokens) → segment-lerp interpolation → Stage-2 adjacent-level refinement
+(levels=3, T=64 tokens), all as ONE jitted XLA program on one TPU chip,
+at the reference's default model sizes (d_model=384, 12 layers, 12 heads —
+train_keypoints.py:280 defaults).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline divides by the reference PyTorch implementation measured on the
+same pipeline (see scripts/measure_torch_baseline.py; stored in
+BENCH_BASELINE.json with provenance).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from interpolated_diffusion_tpu.models.denoisers import InterpLevelDenoiser, KeypointDenoiser
+from interpolated_diffusion_tpu.ops.schedules import make_schedule
+from interpolated_diffusion_tpu.sample.generate import PipelineConfig, make_pipeline
+
+B = 256
+T, K, LEVELS, K_MIN = 64, 8, 3, 8
+DDIM_STEPS = 20
+N_TRAIN = 100
+D_MODEL, N_LAYERS, N_HEADS, D_FF, D_COND = 384, 12, 12, 1536, 128
+MAZE_CH = (32, 64, 128, 128)
+GRID = 21
+DATA_DIM = 2
+ITERS = 20
+
+
+def main():
+    kp_model = KeypointDenoiser(
+        d_model=D_MODEL, n_layers=N_LAYERS, n_heads=N_HEADS, d_ff=D_FF,
+        d_cond=D_COND, data_dim=DATA_DIM, maze_channels=MAZE_CH,
+        dtype=jnp.bfloat16,
+    )
+    interp_model = InterpLevelDenoiser(
+        d_model=D_MODEL, n_layers=N_LAYERS, n_heads=N_HEADS, d_ff=D_FF,
+        d_cond=D_COND, data_dim=DATA_DIM, maze_channels=MAZE_CH,
+        mask_channels=2, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    idx = jnp.sort(
+        jnp.stack([
+            jnp.concatenate([
+                jnp.zeros((1,), jnp.int32),
+                jax.random.choice(jax.random.fold_in(k3, b), jnp.arange(1, T - 1),
+                                  (K - 2,), replace=False).astype(jnp.int32),
+                jnp.full((1,), T - 1, jnp.int32),
+            ])
+            for b in range(B)
+        ]),
+        axis=1,
+    )
+    cond = {
+        "occ": jax.random.bernoulli(k1, 0.2, (B, 1, GRID, GRID)).astype(jnp.float32),
+        "start_goal": jax.random.uniform(k2, (B, 4)),
+    }
+    kp_params = kp_model.init(
+        k1, jnp.zeros((1, K, DATA_DIM)), jnp.zeros((1,), jnp.int32),
+        idx[:1], jnp.zeros((1, K, DATA_DIM), bool),
+        {"occ": cond["occ"][:1], "start_goal": cond["start_goal"][:1]}, T,
+    )["params"]
+    interp_params = interp_model.init(
+        k2, jnp.zeros((1, T, DATA_DIM)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, T, 2)),
+        {"occ": cond["occ"][:1], "start_goal": cond["start_goal"][:1]},
+    )["params"]
+
+    schedule = make_schedule("linear", N_TRAIN)
+    cfg = PipelineConfig(
+        T=T, K=K, levels=LEVELS, K_min=K_MIN, ddim_steps=DDIM_STEPS,
+        stage2_mode="adj", clamp_policy="endpoints", pos_clip=True,
+    )
+    pipeline = jax.jit(make_pipeline(kp_model, interp_model, schedule, cfg, DATA_DIM))
+
+    # warmup / compile
+    out = pipeline(kp_params, interp_params, jax.random.PRNGKey(1), idx, cond)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for i in range(ITERS):
+        out = pipeline(kp_params, interp_params, jax.random.PRNGKey(2 + i), idx, cond)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    sps = B * ITERS / dt
+
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref = base.get("samples_per_sec")
+        if ref:
+            vs_baseline = sps / float(ref)
+
+    print(json.dumps({
+        "metric": "e2e samples/sec (T=64,K=8,DDIM-20,stage2 levels=3)",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""Host-side datasets and the batch loader feeding the jitted train steps.
+
+Parity with reference src/data/dataset.py: ParticleMazeDataset (on-the-fly
+maze+path generation with seeded npz shard caching, :248-357) and
+PreparedTrajectoryDataset (npz-backed prepared data with optional per-sample
+occ/sdf/DP-keypoint fields, :682-747).
+
+TPU-native design: instead of torch DataLoader workers, BatchLoader builds
+whole numpy batches on the host (optionally on a background thread) and hands
+them to `jax.device_put` — batches are dense dicts of fixed-shape arrays, the
+layout jit wants. Per-shard seeding gives the same determinism discipline as
+the reference (dataset.py:296-320).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from .maze import generate_maze, sdf_from_occupancy
+from .trajectories import path_to_trajectory
+
+
+def _cell_to_xy(cell, h: int, w: int) -> np.ndarray:
+    return np.array([(cell[1] + 0.5) / w, (cell[0] + 0.5) / h], dtype=np.float32)
+
+
+class ParticleMazeDataset:
+    """Procedural maze trajectories with per-shard seeded generation + caching."""
+
+    def __init__(
+        self,
+        num_samples: int = 100_000,
+        h: int = 21,
+        w: int = 21,
+        T: int = 64,
+        p_wall_min: float = 0.15,
+        p_wall_max: float = 0.30,
+        with_velocity: bool = False,
+        use_sdf: bool = False,
+        cache_dir: Optional[str] = None,
+        shard_size: int = 10_000,
+        seed: int = 123,
+    ):
+        self.num_samples = num_samples
+        self.h, self.w, self.T = h, w, T
+        self.p_wall_min, self.p_wall_max = p_wall_min, p_wall_max
+        self.with_velocity = with_velocity
+        self.use_sdf = use_sdf
+        self.cache_dir = cache_dir
+        self.shard_size = shard_size
+        self.seed = seed
+        self.data_dim = 4 if with_velocity else 2
+        self._cached_idx: Optional[int] = None
+        self._cached: Optional[Dict[str, np.ndarray]] = None
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    # -- shard machinery -----------------------------------------------------
+    def _shard_path(self, shard_idx: int) -> str:
+        return os.path.join(self.cache_dir, f"shard_{shard_idx:05d}.npz")
+
+    def _generate_sample(self, rng: np.random.RandomState):
+        p_wall = rng.uniform(self.p_wall_min, self.p_wall_max)
+        occ, start, goal, path = generate_maze(rng, self.h, self.w, p_wall=p_wall)
+        x = path_to_trajectory(path, self.h, self.w, self.T, with_velocity=self.with_velocity)
+        sdf = sdf_from_occupancy(occ).astype(np.float32) if self.use_sdf else None
+        sg = np.concatenate(
+            [_cell_to_xy(start, self.h, self.w), _cell_to_xy(goal, self.h, self.w)]
+        ).astype(np.float32)
+        return x, occ.astype(np.float32), sdf, sg
+
+    def _build_shard(self, shard_idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed + shard_idx)
+        lo = shard_idx * self.shard_size
+        hi = min(self.num_samples, lo + self.shard_size)
+        n = hi - lo
+        x = np.zeros((n, self.T, self.data_dim), dtype=np.float32)
+        occ = np.zeros((n, 1, self.h, self.w), dtype=np.float32)
+        sdf = np.zeros((n, 1, self.h, self.w), dtype=np.float32) if self.use_sdf else None
+        sg = np.zeros((n, 4), dtype=np.float32)
+        for i in range(n):
+            xi, occi, sdfi, sgi = self._generate_sample(rng)
+            x[i], occ[i, 0], sg[i] = xi, occi, sgi
+            if sdf is not None:
+                sdf[i, 0] = sdfi
+        data = {"x": x, "occ": occ, "start_goal": sg}
+        if sdf is not None:
+            data["sdf"] = sdf
+        return data
+
+    def _load_shard(self, shard_idx: int) -> Dict[str, np.ndarray]:
+        if self._cached_idx == shard_idx:
+            return self._cached
+        if self.cache_dir is not None:
+            path = self._shard_path(shard_idx)
+            if os.path.exists(path):
+                with np.load(path) as f:
+                    data = {k: f[k] for k in f.files}
+            else:
+                data = self._build_shard(shard_idx)
+                np.savez_compressed(path, **data)
+        else:
+            data = self._build_shard(shard_idx)
+        self._cached_idx, self._cached = shard_idx, data
+        return data
+
+    def get(self, idx: int) -> Dict[str, np.ndarray]:
+        data = self._load_shard(idx // self.shard_size)
+        off = idx % self.shard_size
+        out = {
+            "x": data["x"][off],
+            "occ": data["occ"][off],
+            "start_goal": data["start_goal"][off],
+        }
+        if "sdf" in data:
+            out["sdf"] = data["sdf"][off]
+        return out
+
+    def get_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        """Dense batch gather; fast path when all indices share one shard."""
+        indices = np.asarray(indices)
+        shards = indices // self.shard_size
+        out: Dict[str, list] = {}
+        if np.all(shards == shards[0]):
+            data = self._load_shard(int(shards[0]))
+            offs = indices % self.shard_size
+            batch = {k: v[offs] for k, v in data.items()}
+        else:
+            rows = [self.get(int(i)) for i in indices]
+            batch = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        return batch
+
+
+class PreparedTrajectoryDataset:
+    """npz-backed prepared dataset (x, occ?, sdf?, start_goal, kp_idx?,
+    kp_feat?, kp_mask_levels?, difficulty?)."""
+
+    def __init__(self, path: str):
+        with np.load(path, allow_pickle=False) as f:
+            self.arrays = {k: f[k] for k in f.files}
+        if "x" not in self.arrays:
+            raise ValueError(f"prepared dataset {path} missing 'x'")
+        self.num_samples = self.arrays["x"].shape[0]
+        self.T = self.arrays["x"].shape[1]
+        self.data_dim = self.arrays["x"].shape[2]
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+    def get_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        indices = np.asarray(indices)
+        return {k: v[indices] for k, v in self.arrays.items()}
+
+
+class BatchLoader:
+    """Seeded random-batch iterator with optional background prefetch.
+
+    Replaces the reference's torch DataLoader worker pool: one host thread
+    assembles dense numpy batches ahead of the train loop; the jitted step
+    overlaps the next batch build with device compute.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        seed: int = 0,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.RandomState(self.seed)
+        n = len(self.dataset)
+
+        def gen():
+            while True:
+                idx = rng.randint(0, n, size=self.batch_size)
+                yield self.dataset.get_batch(idx)
+
+        if self.prefetch <= 0:
+            yield from gen()
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            for batch in gen():
+                if stop.is_set():
+                    return
+                q.put(batch)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

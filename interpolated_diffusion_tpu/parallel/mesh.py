@@ -1,0 +1,58 @@
+"""Device mesh + sharding rules — the framework's distribution layer.
+
+This is a NEW first-class capability relative to the reference (which is
+single-GPU only, SURVEY.md §2.4/§5.8): data parallelism for all trainers and
+tensor parallelism for large DiT backbones, expressed as
+`jax.sharding.Mesh` + NamedSharding and compiled by XLA's SPMD partitioner
+(collectives ride ICI within a slice; no hand-written comm code).
+
+Axes:
+  data   — batch dimension (DP); gradients all-reduce automatically.
+  model  — attention heads / FFN hidden (TP) for Wan-scale models.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    Defaults to all devices on the data axis. ICI-adjacent devices land on
+    the model axis (fastest-varying), which keeps TP collectives on the
+    highest-bandwidth links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} does not match {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding: leading axis split over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree (params/opt state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard every leaf's leading (batch) axis over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

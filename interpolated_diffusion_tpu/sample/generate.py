@@ -1,0 +1,427 @@
+"""End-to-end generation: Stage-1 keypoints → interpolation → Stage-2 refine.
+
+Capability parity with reference src/sample/sample_generate.py (the
+BASELINE.json metric path, §3.3): DDIM keypoint sampling with known-endpoint
+re-clamping, segment-lerp interpolation, the Stage-2 level loop (adj deltas /
+x0 jump) with per-level sampling noise σ(K_s), soft anchor clamp λ(s)·conf,
+hard clamp policies (endpoints / all_anchors / none, pos/all dims), and
+oracle-keypoint replicas for ablation. Metrics CSV + samples.npz outputs.
+
+TPU-native: the WHOLE pipeline — the ~20-step DDIM scan over K tokens, the
+interp gather, and the levels-step Stage-2 loop over T tokens — is ONE jitted
+XLA program (`make_pipeline`). Host code only feeds conditioning batches.
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval.metrics import compute_metrics_batch
+from ..models.denoisers import InterpLevelDenoiser, KeypointDenoiser
+from ..ops.clamp import apply_clamp, apply_soft_clamp
+from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.keyframes import (
+    build_nested_masks_from_base,
+    compute_k_schedule,
+    interpolate_from_indices,
+)
+from ..ops.normalize import logit_pos, sigmoid_pos
+from ..ops.schedules import make_schedule
+from ..train.batches import (
+    build_known_mask_values,
+    compute_sigma_for_level,
+    gather_keypoints,
+)
+from ..train.common import add_data_args, make_dataset, sample_idx_policy
+from ..train.train_interp_levels import anneal_conf, build_anchor_conf
+from ..utils.checkpoint import latest_checkpoint, load_checkpoint, read_meta
+
+
+# ---------------------------------------------------------------------------
+# model reconstruction from checkpoint meta (the reference's config channel)
+# ---------------------------------------------------------------------------
+
+def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
+    path = path if os.path.exists(os.path.join(path, "meta.json")) else latest_checkpoint(path)
+    _, meta = read_meta(path)
+    if meta.get("stage") != "keypoints":
+        raise ValueError(f"{path} is not a Stage-1 checkpoint")
+    data_dim = int(meta["data_dim"])
+    model = KeypointDenoiser(
+        d_model=meta["d_model"], n_layers=meta["n_layers"], n_heads=meta["n_heads"],
+        d_ff=meta["d_ff"], d_cond=meta["d_cond"],
+        use_sdf=bool(meta["use_sdf"]), use_start_goal=bool(meta["cond_start_goal"]),
+        data_dim=data_dim,
+        kp_feat_dim=meta.get("kp_feat_dim", 0) if meta.get("use_kp_feat") else 0,
+        maze_channels=tuple(int(c) for c in meta["maze_channels"].split(",")),
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
+    K, T = int(meta["K"]), int(meta["T"])
+    tmpl = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, K, data_dim)), jnp.zeros((1,), dtype=jnp.int32),
+        jnp.zeros((1, K), dtype=jnp.int32), jnp.zeros((1, K, data_dim), dtype=bool),
+        {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
+         "start_goal": jnp.zeros((1, 4))},
+        T,
+    )["params"]
+    _, payload = load_checkpoint(path, tmpl)
+    params = payload.get("ema") if (use_ema and "ema" in payload) else payload["params"]
+    return model, params, meta
+
+
+def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
+    path = path if os.path.exists(os.path.join(path, "meta.json")) else latest_checkpoint(path)
+    _, meta = read_meta(path)
+    if meta.get("stage") != "interp_levels":
+        raise ValueError(f"{path} is not a Stage-2 checkpoint")
+    data_dim = int(meta["data_dim"])
+    model = InterpLevelDenoiser(
+        d_model=meta["d_model"], n_layers=meta["n_layers"], n_heads=meta["n_heads"],
+        d_ff=meta["d_ff"], d_cond=meta["d_cond"],
+        use_sdf=bool(meta["use_sdf"]), use_start_goal=bool(meta["cond_start_goal"]),
+        data_dim=data_dim, max_levels=max(8, int(meta["levels"])),
+        mask_channels=int(meta["mask_channels"]),
+        maze_channels=tuple(int(c) for c in meta["maze_channels"].split(",")),
+        causal=bool(meta.get("causal", 0)),
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
+    T = int(meta["T"])
+    mc = int(meta["mask_channels"])
+    tmpl = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, T, data_dim)), jnp.zeros((1,), dtype=jnp.int32),
+        jnp.zeros((1, T, mc)) if mc > 1 else jnp.zeros((1, T), dtype=bool),
+        {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
+         "start_goal": jnp.zeros((1, 4))},
+    )["params"]
+    _, payload = load_checkpoint(path, tmpl)
+    params = payload.get("ema") if (use_ema and "ema" in payload) else payload["params"]
+    return model, params, meta
+
+
+# ---------------------------------------------------------------------------
+# the jitted pipeline
+# ---------------------------------------------------------------------------
+
+class PipelineConfig:
+    """Static pipeline knobs (baked into the jitted program)."""
+
+    def __init__(
+        self,
+        T: int, K: int, levels: int, K_min: int,
+        ddim_steps: int = 20,
+        time_spacing: str = "linear",
+        k_schedule: str = "doubling",
+        stage2_mode: str = "adj",
+        anchor_conf: bool = False,
+        anchor_conf_anneal_mode: str = "none",
+        anchor_conf_teacher: float = 0.95,
+        anchor_conf_endpoints: float = 1.0,
+        anchor_conf_missing: float = 0.0,
+        clamp_endpoints: bool = True,
+        clamp_policy: str = "endpoints",   # endpoints | all_anchors | none
+        clamp_dims: str = "pos",
+        soft_anchor_clamp: bool = False,
+        soft_clamp_schedule: str = "linear",
+        soft_clamp_max: float = 0.5,
+        s2_noise_mode: str = "none",       # none | constant | level
+        s2_noise_sigma: float = 0.0,
+        s2_noise_scale: float = 1.0,
+        s2_sigma_min: float = 0.0,
+        s2_sigma_pow: float = 1.0,
+        pos_clip: bool = False,
+        pos_clip_min: float = 0.0,
+        pos_clip_max: float = 1.0,
+        logit_space: bool = False,
+        logit_eps: float = 1e-5,
+        recompute_vel: bool = False,
+    ):
+        self.__dict__.update(locals())
+        del self.__dict__["self"]
+
+
+def _soft_clamp_lambda(s: int, levels: int, schedule: str, max_val: float) -> float:
+    if levels <= 0:
+        return float(max_val)
+    frac = float(s) / float(levels)
+    if schedule == "linear":
+        return float(max_val) * frac
+    if schedule == "cosine":
+        return float(max_val) * 0.5 * (1.0 + np.cos(np.pi * (1.0 - frac)))
+    return float(max_val)
+
+
+def make_pipeline(
+    kp_model, interp_model, kp_schedule, cfg: PipelineConfig, data_dim: int,
+):
+    """Returns pipeline(kp_params, interp_params, key, idx, cond) ->
+    (x_interp, x_refined, z_pred). Fully jittable; one XLA program."""
+    T, K, levels = cfg.T, cfg.K, cfg.levels
+    times = jnp.asarray(
+        make_timesteps(kp_schedule.n_timesteps, cfg.ddim_steps, cfg.time_spacing)
+    )
+    k_list = compute_k_schedule(T, cfg.K_min, levels, cfg.k_schedule)
+
+    def clip_pos(z):
+        if not cfg.pos_clip:
+            return z
+        return z.at[..., :2].set(jnp.clip(z[..., :2], cfg.pos_clip_min, cfg.pos_clip_max))
+
+    def stage1(kp_params, key, idx, cond):
+        B = idx.shape[0]
+        known_mask, known_values = build_known_mask_values(
+            idx, cond, data_dim, T, cfg.clamp_endpoints
+        )
+        if cfg.logit_space:
+            known_values = logit_pos(known_values, eps=cfg.logit_eps)
+        z = jax.random.normal(key, (B, K, data_dim))
+        z = clip_pos(jnp.where(known_mask, known_values, z))
+        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
+
+        def body(z, pair):
+            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+            tp_b = jnp.full((B,), pair[1], dtype=jnp.int32)
+            eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, T)
+            z = ddim_step(z, eps, t_b, tp_b, kp_schedule)
+            z = clip_pos(jnp.where(known_mask, known_values, z))
+            return z, None
+
+        z, _ = jax.lax.scan(body, z, t_pairs)
+        if cfg.logit_space:
+            z = sigmoid_pos(z)
+        return z
+
+    def stage2(interp_params, key, x_pred, idx, cond):
+        B = idx.shape[0]
+        masks_levels, _ = build_nested_masks_from_base(
+            key, idx, T, levels, k_schedule=cfg.k_schedule
+        )
+        x = x_pred
+        noise_keys = jax.random.split(jax.random.fold_in(key, 7), levels + 1)
+        if cfg.stage2_mode == "x0":
+            s_iter = [levels]
+        else:
+            s_iter = list(range(levels, 0, -1))
+        for s in s_iter:
+            mask_s = masks_levels[:, s]
+            mask_prev = masks_levels[:, s - 1] if cfg.stage2_mode == "adj" else None
+            conf_s = None
+            if cfg.anchor_conf:
+                conf_s = build_anchor_conf(
+                    mask_s, None, cfg.anchor_conf_teacher, 0.5,
+                    cfg.anchor_conf_endpoints, cfg.anchor_conf_missing,
+                    cfg.clamp_endpoints,
+                )
+                conf_s = anneal_conf(
+                    conf_s, jnp.full((B,), s), levels, cfg.anchor_conf_anneal_mode
+                )
+            if cfg.stage2_mode == "adj":
+                chans = [mask_s.astype(jnp.float32), mask_prev.astype(jnp.float32)]
+                if conf_s is not None:
+                    chans.append(conf_s)
+                mask_in = jnp.stack(chans, axis=-1)
+            else:
+                if conf_s is not None:
+                    mask_in = jnp.stack([mask_s.astype(jnp.float32), conf_s], axis=-1)
+                else:
+                    mask_in = mask_s
+            s_level = jnp.full((B,), s, dtype=jnp.int32)
+            delta = interp_model.apply({"params": interp_params}, x, s_level, mask_in, cond)
+            x = x + delta
+            # level-tied sampling noise on missing frames
+            if cfg.s2_noise_mode != "none":
+                sigma = (
+                    cfg.s2_noise_sigma
+                    if cfg.s2_noise_mode == "constant"
+                    else compute_sigma_for_level(
+                        int(k_list[s]), cfg.K_min, cfg.s2_noise_sigma,
+                        cfg.s2_sigma_min, cfg.s2_sigma_pow,
+                    )
+                )
+                if sigma > 0 and cfg.s2_noise_scale > 0:
+                    nz = jax.random.normal(noise_keys[s], (B, T, 2)) * sigma * cfg.s2_noise_scale
+                    nz = nz * (~mask_s)[..., None]
+                    x = x.at[..., :2].add(nz)
+            if cfg.soft_anchor_clamp and conf_s is not None:
+                lam = _soft_clamp_lambda(s, levels, cfg.soft_clamp_schedule, cfg.soft_clamp_max)
+                x = apply_soft_clamp(x, x_pred, conf_s, lam, cfg.clamp_dims)
+            if cfg.clamp_policy == "all_anchors":
+                x = apply_clamp(x, x_pred, mask_s, cfg.clamp_dims)
+            elif cfg.clamp_policy == "endpoints":
+                end_mask = jnp.zeros_like(mask_s).at[:, 0].set(True).at[:, -1].set(True)
+                x = apply_clamp(x, x_pred, end_mask, cfg.clamp_dims)
+            x = clip_pos(x)
+        return x
+
+    def pipeline(kp_params, interp_params, key, idx, cond,
+                 z_override: Optional[jnp.ndarray] = None):
+        k1, k2 = jax.random.split(key)
+        z_pred = stage1(kp_params, k1, idx, cond) if z_override is None else z_override
+        x_interp = interpolate_from_indices(
+            idx, z_pred, T, recompute_velocity=cfg.recompute_vel
+        )
+        x_refined = stage2(interp_params, k2, x_interp, idx, cond)
+        return x_interp, x_refined, z_pred
+
+    return pipeline
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("sample_generate (end-to-end, TPU)")
+    p.add_argument("--kp_ckpt", type=str, required=True)
+    p.add_argument("--interp_ckpt", type=str, required=True)
+    p.add_argument("--use_ema", type=int, default=1)
+    p.add_argument("--num_batches", type=int, default=4)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--ddim_steps", type=int, default=20)
+    p.add_argument("--time_spacing", type=str, default="linear")
+    p.add_argument("--kp_index_mode", type=str, default="uniform",
+                   choices=["random", "uniform", "uniform_jitter"])
+    p.add_argument("--kp_jitter", type=float, default=0.0)
+    p.add_argument("--stage2_mode", type=str, default=None, help="default: from meta")
+    p.add_argument("--clamp_policy", type=str, default="endpoints",
+                   choices=["endpoints", "all_anchors", "none"])
+    p.add_argument("--clamp_dims", type=str, default="pos", choices=["pos", "all"])
+    p.add_argument("--soft_anchor_clamp", type=int, default=0)
+    p.add_argument("--soft_clamp_schedule", type=str, default="linear")
+    p.add_argument("--soft_clamp_max", type=float, default=0.5)
+    p.add_argument("--s2_noise_mode", type=str, default="none",
+                   choices=["none", "constant", "level"])
+    p.add_argument("--s2_noise_sigma", type=float, default=0.0)
+    p.add_argument("--s2_noise_scale", type=float, default=1.0)
+    p.add_argument("--pos_clip", type=int, default=1)
+    p.add_argument("--compare_oracle", type=int, default=0)
+    p.add_argument("--sample_seed", type=int, default=1234)
+    p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--out_dir", type=str, default="runs/samples")
+    p.add_argument("--save_npz", type=int, default=1)
+    add_data_args(p)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    kp_model, kp_params, kp_meta = load_keypoint_model(args.kp_ckpt, bool(args.bf16), bool(args.use_ema))
+    interp_model, interp_params, il_meta = load_interp_model(args.interp_ckpt, bool(args.bf16), bool(args.use_ema))
+
+    T, K = int(kp_meta["T"]), int(kp_meta["K"])
+    levels, K_min = int(il_meta["levels"]), int(il_meta["K_min"])
+    cfg = PipelineConfig(
+        T=T, K=K, levels=levels, K_min=K_min,
+        ddim_steps=args.ddim_steps, time_spacing=args.time_spacing,
+        k_schedule=il_meta.get("k_schedule", "doubling"),
+        stage2_mode=args.stage2_mode or il_meta.get("mode", "adj"),
+        anchor_conf=bool(il_meta.get("anchor_conf", 0)),
+        anchor_conf_anneal_mode=(
+            il_meta.get("anchor_conf_anneal_mode", "none")
+            if il_meta.get("anchor_conf_anneal") else "none"
+        ),
+        clamp_endpoints=bool(kp_meta.get("clamp_endpoints", 1)),
+        clamp_policy=args.clamp_policy, clamp_dims=args.clamp_dims,
+        soft_anchor_clamp=bool(args.soft_anchor_clamp),
+        soft_clamp_schedule=args.soft_clamp_schedule,
+        soft_clamp_max=args.soft_clamp_max,
+        s2_noise_mode=args.s2_noise_mode, s2_noise_sigma=args.s2_noise_sigma,
+        s2_noise_scale=args.s2_noise_scale,
+        pos_clip=bool(args.pos_clip),
+        logit_space=bool(kp_meta.get("logit_space", 0)),
+        logit_eps=float(kp_meta.get("logit_eps", 1e-5)),
+        recompute_vel=bool(il_meta.get("recompute_vel", 0)) and int(kp_meta["data_dim"]) == 4,
+    )
+    kp_schedule = make_schedule(kp_meta["schedule"], int(kp_meta["N_train"]))
+    data_dim = int(kp_meta["data_dim"])
+    pipeline = jax.jit(make_pipeline(kp_model, interp_model, kp_schedule, cfg, data_dim))
+
+    args.T = T  # for make_dataset
+    ds, _ = make_dataset(args)
+    host_rng = np.random.RandomState(args.sample_seed)
+    key = jax.random.PRNGKey(args.sample_seed)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    csv_path = os.path.join(args.out_dir, "metrics.csv")
+    rows = []
+    all_out = {"interp": [], "refined": [], "keypoints": [], "idx": [], "gt": []}
+    policy = {"random": "random:1.0", "uniform": "uniform:1.0",
+              "uniform_jitter": "uniform:1.0"}[args.kp_index_mode]
+    jitter = args.kp_jitter if args.kp_index_mode == "uniform_jitter" else 0.0
+
+    t_total, n_total = 0.0, 0
+    for bi in range(args.num_batches):
+        indices = host_rng.randint(0, len(ds), size=args.batch)
+        batch = ds.get_batch(indices)
+        cond = {"occ": jnp.asarray(batch["occ"]),
+                "start_goal": jnp.asarray(batch["start_goal"])}
+        idx = jnp.asarray(sample_idx_policy(
+            host_rng, policy, args.batch, T, K, None, jitter))
+        key, k_b = jax.random.split(key)
+        t0 = time.time()
+        x_interp, x_refined, z_pred = pipeline(kp_params, interp_params, k_b, idx, cond)
+        x_refined.block_until_ready()
+        dt = time.time() - t0
+        if bi > 0:  # skip compile batch in throughput
+            t_total += dt
+            n_total += args.batch
+
+        gt = jnp.asarray(batch["x"])
+        m_i = compute_metrics_batch(cond["occ"], x_interp, cond["start_goal"][:, 2:], gt)
+        m_r = compute_metrics_batch(cond["occ"], x_refined, cond["start_goal"][:, 2:], gt)
+        variants = {"interp": m_i, "refined": m_r}
+        if args.compare_oracle:
+            z_oracle = gather_keypoints(gt, idx)
+            xo_i, xo_r, _ = pipeline(kp_params, interp_params, k_b, idx, cond, z_oracle)
+            variants["oracle_interp"] = compute_metrics_batch(
+                cond["occ"], xo_i, cond["start_goal"][:, 2:], gt)
+            variants["oracle_refined"] = compute_metrics_batch(
+                cond["occ"], xo_r, cond["start_goal"][:, 2:], gt)
+        for b in range(args.batch):
+            row = {"batch": bi, "sample": b}
+            for vname, vm in variants.items():
+                for mname, mv in vm.items():
+                    row[f"{vname}_{mname}"] = float(mv[b])
+            rows.append(row)
+        all_out["interp"].append(np.asarray(x_interp))
+        all_out["refined"].append(np.asarray(x_refined))
+        all_out["keypoints"].append(np.asarray(z_pred))
+        all_out["idx"].append(np.asarray(idx))
+        all_out["gt"].append(np.asarray(batch["x"]))
+        print(f"batch {bi}: {dt:.3f}s "
+              f"coll(interp)={float(m_i['collision_rate'].mean()):.4f} "
+              f"coll(refined)={float(m_r['collision_rate'].mean()):.4f} "
+              f"succ={float(m_r['success'].mean()):.3f}")
+
+    with open(csv_path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    summary = {
+        k: float(np.mean([r[k] for r in rows]))
+        for k in rows[0] if k not in ("batch", "sample")
+    }
+    if n_total:
+        summary["samples_per_sec"] = n_total / t_total
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if args.save_npz:
+        np.savez_compressed(
+            os.path.join(args.out_dir, "samples.npz"),
+            **{k: np.concatenate(v) for k, v in all_out.items()},
+        )
+    print("summary:", json.dumps(summary, indent=2))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

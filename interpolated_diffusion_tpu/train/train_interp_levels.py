@@ -1,0 +1,491 @@
+"""Stage-2 interp-level denoiser trainer (maze family).
+
+Capability parity with reference src/train/train_interp_levels.py: nested
+mask policies (random_nested / uniform / dp-from-base), level sampling
+(uniform / high-biased), `adj` (target = x_{s−1} − x_s) and `x0`
+(target = x0 − x_s) modes, anchor-confidence channels with per-level anneal,
+interp corruption (distance-scaled noise, anchor jitter), conf-weighted MSE.
+The causal variant (train_interp_levels_causal.py) is the same trainer with
+--causal 1.
+
+Stage-1 bootstrap scheduled sampling (replace GT anchors with DDIM-sampled
+student anchors w.p. warmup-scheduled p) plugs in via --bootstrap_ckpt.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.denoisers import InterpLevelDenoiser, KeypointDenoiser
+from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.keyframes import build_nested_masks_from_base, build_nested_masks_batch
+from ..ops.normalize import logit_pos, sigmoid_pos
+from ..ops.schedules import make_schedule
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.checkpoint import latest_checkpoint, load_checkpoint, read_meta, save_checkpoint
+from .batches import (
+    build_interp_adjacent_batch,
+    build_interp_level_batch,
+    build_known_mask_values,
+    gather_keypoints,
+)
+from .common import add_data_args, add_train_args, make_dataset, make_loader, sample_idx_policy
+from .state import init_train_state, make_optimizer, make_train_step
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("train_interp_levels (Stage-2, TPU)")
+    p.add_argument("--T", type=int, default=64)
+    p.add_argument("--K_min", type=int, default=8)
+    p.add_argument("--levels", type=int, default=3)
+    p.add_argument("--k_schedule", type=str, default="doubling", choices=["doubling", "linear", "geom"])
+    p.add_argument("--mode", type=str, default="adj", choices=["adj", "x0"])
+    p.add_argument("--causal", type=int, default=0)
+    p.add_argument("--mask_policy", type=str, default="random_nested",
+                   choices=["random_nested", "uniform", "dp"])
+    p.add_argument("--level_sampling", type=str, default="high", choices=["uniform", "high"])
+    p.add_argument("--level_high_prob", type=float, default=0.5)
+    p.add_argument("--d_model", type=int, default=384)
+    p.add_argument("--n_layers", type=int, default=12)
+    p.add_argument("--n_heads", type=int, default=12)
+    p.add_argument("--d_ff", type=int, default=1536)
+    p.add_argument("--d_cond", type=int, default=128)
+    p.add_argument("--maze_channels", type=str, default="32,64,128,128")
+    p.add_argument("--clamp_endpoints", type=int, default=1)
+    p.add_argument("--cond_start_goal", type=int, default=1)
+    p.add_argument("--recompute_vel", type=int, default=1)
+    # anchor confidence channel
+    p.add_argument("--anchor_conf", type=int, default=0)
+    p.add_argument("--anchor_conf_teacher", type=float, default=0.95)
+    p.add_argument("--anchor_conf_student", type=float, default=0.5)
+    p.add_argument("--anchor_conf_endpoints", type=float, default=1.0)
+    p.add_argument("--anchor_conf_missing", type=float, default=0.0)
+    p.add_argument("--anchor_conf_anneal", type=int, default=0)
+    p.add_argument("--anchor_conf_anneal_mode", type=str, default="linear",
+                   choices=["none", "linear", "cosine"])
+    # loss weights
+    p.add_argument("--w_anchor", type=float, default=1.0)
+    p.add_argument("--w_missing", type=float, default=1.0)
+    # corruption
+    p.add_argument("--corrupt_mode", type=str, default="none", choices=["none", "dist", "gauss"])
+    p.add_argument("--corrupt_sigma_max", type=float, default=0.0)
+    p.add_argument("--corrupt_sigma_min", type=float, default=0.0)
+    p.add_argument("--corrupt_sigma_pow", type=float, default=1.0)
+    p.add_argument("--corrupt_anchor_frac", type=float, default=0.0)
+    p.add_argument("--corrupt_index_jitter_max", type=int, default=0)
+    p.add_argument("--corrupt_index_jitter_prob", type=float, default=0.0)
+    p.add_argument("--corrupt_index_jitter_pow", type=float, default=1.0)
+    p.add_argument("--pos_clip", type=int, default=0)
+    p.add_argument("--pos_clip_min", type=float, default=0.0)
+    p.add_argument("--pos_clip_max", type=float, default=1.0)
+    # Stage-1 bootstrap scheduled sampling
+    p.add_argument("--bootstrap_ckpt", type=str, default=None)
+    p.add_argument("--bootstrap_replace_prob", type=float, default=0.5)
+    p.add_argument("--bootstrap_warmup_steps", type=int, default=2000)
+    p.add_argument("--bootstrap_ddim_steps", type=int, default=5)
+    add_data_args(p)
+    add_train_args(p)
+    return p
+
+
+def mask_channels_for(args) -> int:
+    base = 2 if args.mode == "adj" else 1
+    return base + (1 if args.anchor_conf else 0)
+
+
+def make_meta(args, data_dim: int) -> Dict:
+    return {
+        "stage": "interp_levels",
+        "T": args.T,
+        "K_min": args.K_min,
+        "levels": args.levels,
+        "k_schedule": args.k_schedule,
+        "mode": args.mode,
+        "causal": args.causal,
+        "d_model": args.d_model,
+        "n_layers": args.n_layers,
+        "n_heads": args.n_heads,
+        "d_ff": args.d_ff,
+        "d_cond": args.d_cond,
+        "maze_channels": args.maze_channels,
+        "mask_channels": mask_channels_for(args),
+        "anchor_conf": args.anchor_conf,
+        "anchor_conf_anneal": args.anchor_conf_anneal,
+        "anchor_conf_anneal_mode": args.anchor_conf_anneal_mode,
+        "clamp_endpoints": args.clamp_endpoints,
+        "cond_start_goal": args.cond_start_goal,
+        "with_velocity": args.with_velocity,
+        "use_sdf": args.use_sdf,
+        "recompute_vel": args.recompute_vel,
+        "data_dim": data_dim,
+        "maze_h": args.maze_h,
+        "maze_w": args.maze_w,
+        "corrupt_mode": args.corrupt_mode,
+    }
+
+
+def build_model(args, data_dim: int) -> InterpLevelDenoiser:
+    return InterpLevelDenoiser(
+        d_model=args.d_model,
+        n_layers=args.n_layers,
+        n_heads=args.n_heads,
+        d_ff=args.d_ff,
+        d_cond=args.d_cond,
+        use_sdf=bool(args.use_sdf),
+        use_start_goal=bool(args.cond_start_goal),
+        data_dim=data_dim,
+        max_levels=max(8, args.levels),
+        mask_channels=mask_channels_for(args),
+        maze_channels=tuple(int(c) for c in args.maze_channels.split(",")),
+        causal=bool(args.causal),
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def build_anchor_conf(
+    mask_s: jnp.ndarray,
+    student_mask: Optional[jnp.ndarray],
+    conf_teacher: float,
+    conf_student: float,
+    conf_endpoints: float,
+    conf_missing: float,
+    clamp_endpoints: bool,
+) -> jnp.ndarray:
+    """Per-frame anchor confidence (reference _build_anchor_conf :546)."""
+    conf = jnp.where(mask_s, conf_teacher, conf_missing).astype(jnp.float32)
+    if student_mask is not None:
+        conf = jnp.where(student_mask & mask_s, conf_student, conf)
+    if clamp_endpoints:
+        conf = conf.at[:, 0].set(conf_endpoints).at[:, -1].set(conf_endpoints)
+    return conf
+
+
+def anneal_conf(conf: jnp.ndarray, s_idx: jnp.ndarray, levels: int, mode: str) -> jnp.ndarray:
+    """conf += (1 − conf)·λ(s) with λ linear/cosine in s/levels (:565)."""
+    if mode == "none" or levels <= 0:
+        return conf
+    frac = s_idx.astype(jnp.float32) / float(levels)
+    if mode == "linear":
+        lam = 1.0 - frac
+    elif mode == "cosine":
+        lam = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+    else:
+        lam = jnp.zeros_like(frac)
+    return conf + (1.0 - conf) * lam[:, None]
+
+
+def sample_level_indices(
+    key: jax.Array, B: int, levels: int, mode: str, high_prob: float
+) -> jnp.ndarray:
+    """s ~ uniform{1..levels}, or biased toward s=levels w.p. high_prob."""
+    k1, k2 = jax.random.split(key)
+    s_uni = jax.random.randint(k1, (B,), 1, levels + 1)
+    if mode == "uniform" or levels <= 1:
+        return s_uni
+    high = jax.random.uniform(k2, (B,)) < float(np.clip(high_prob, 0.0, 1.0))
+    return jnp.where(high, levels, s_uni)
+
+
+def make_bootstrap_sampler(args, data_dim: int):
+    """Load the Stage-1 ckpt (via meta) and return a jittable DDIM anchor
+    sampler: (params, key, idx, cond) -> z_pred [B, K, D] in data space.
+
+    Mirrors reference _sample_keypoints_ddim (train_interp_levels.py:200):
+    few-step DDIM with quadratic time spacing and known-endpoint re-clamping.
+    """
+    path = args.bootstrap_ckpt
+    if os.path.isdir(os.path.join(path, "..")) and not os.path.exists(
+        os.path.join(path, "meta.json")
+    ):
+        path = latest_checkpoint(path) or path
+    _, meta = read_meta(path)
+    if meta.get("stage") != "keypoints":
+        raise ValueError(f"bootstrap ckpt {path} is not a keypoints checkpoint")
+    kp_model = KeypointDenoiser(
+        d_model=meta["d_model"],
+        n_layers=meta["n_layers"],
+        n_heads=meta["n_heads"],
+        d_ff=meta["d_ff"],
+        d_cond=meta["d_cond"],
+        use_sdf=bool(meta["use_sdf"]),
+        use_start_goal=bool(meta["cond_start_goal"]),
+        data_dim=data_dim,
+        kp_feat_dim=meta.get("kp_feat_dim", 0) if meta.get("use_kp_feat") else 0,
+        maze_channels=tuple(int(c) for c in meta["maze_channels"].split(",")),
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    K = int(meta["K"])
+    k_init = jax.random.PRNGKey(0)
+    tmpl = kp_model.init(
+        k_init,
+        jnp.zeros((1, K, data_dim)),
+        jnp.zeros((1,), dtype=jnp.int32),
+        jnp.zeros((1, K), dtype=jnp.int32),
+        jnp.zeros((1, K, data_dim), dtype=bool),
+        {"occ": jnp.zeros((1, 1, args.maze_h, args.maze_w)),
+         "start_goal": jnp.zeros((1, 4))},
+        meta["T"],
+    )["params"]
+    _, payload = load_checkpoint(path, tmpl)
+    kp_params = payload.get("ema", payload["params"])
+    kp_schedule = make_schedule(meta["schedule"], int(meta["N_train"]))
+    logit_space = bool(meta.get("logit_space", 0))
+    logit_eps = float(meta.get("logit_eps", 1e-5))
+    T = int(meta["T"])
+    times = jnp.asarray(
+        make_timesteps(int(meta["N_train"]), args.bootstrap_ddim_steps, "quadratic")
+    )
+
+    def sample(key: jax.Array, idx: jnp.ndarray, cond: Dict) -> jnp.ndarray:
+        B, K_ = idx.shape
+        known_mask, known_values = build_known_mask_values(
+            idx, cond, data_dim, T, bool(meta["clamp_endpoints"])
+        )
+        if logit_space:
+            known_values = logit_pos(known_values, eps=logit_eps)
+        z = jax.random.normal(key, (B, K_, data_dim))
+        z = jnp.where(known_mask, known_values, z)
+        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
+
+        def body(z, pair):
+            t_now, t_prev = pair
+            t_b = jnp.full((B,), t_now, dtype=jnp.int32)
+            eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, T)
+            z = ddim_step(z, eps, t_b, jnp.full((B,), t_prev, dtype=jnp.int32), kp_schedule)
+            z = jnp.where(known_mask, known_values, z)
+            return z, None
+
+        z, _ = jax.lax.scan(body, z, t_pairs)
+        if logit_space:
+            z = sigmoid_pos(z)
+        return z
+
+    return sample, K
+
+
+def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None):
+    """loss_fn(params, batch, rng); batch: x, occ, start_goal, [idx_base],
+    [bootstrap_p] scalar."""
+    levels = args.levels
+    corr = dict(
+        corrupt_mode=args.corrupt_mode,
+        corrupt_sigma_max=args.corrupt_sigma_max,
+        corrupt_sigma_min=args.corrupt_sigma_min,
+        corrupt_sigma_pow=args.corrupt_sigma_pow,
+        corrupt_anchor_frac=args.corrupt_anchor_frac,
+        corrupt_index_jitter_max=args.corrupt_index_jitter_max,
+        corrupt_index_jitter_prob=args.corrupt_index_jitter_prob,
+        corrupt_index_jitter_pow=args.corrupt_index_jitter_pow,
+        clamp_endpoints=bool(args.clamp_endpoints),
+        pos_clip=bool(args.pos_clip),
+        pos_clip_min=args.pos_clip_min,
+        pos_clip_max=args.pos_clip_max,
+    )
+
+    def loss_fn(params, batch, rng):
+        x0 = batch["x"]
+        cond = {"occ": batch["occ"], "start_goal": batch["start_goal"]}
+        if "sdf" in batch:
+            cond["sdf"] = batch["sdf"]
+        B, T, D = x0.shape
+        k_mask, k_s, k_batch, k_boot, k_rep = jax.random.split(rng, 5)
+
+        if "idx_base" in batch:
+            masks_levels, idx_levels = build_nested_masks_from_base(
+                k_mask, batch["idx_base"], T, levels, k_schedule=args.k_schedule
+            )
+        else:
+            masks_levels, idx_levels = build_nested_masks_batch(
+                k_mask, B, T, args.K_min, levels, k_schedule=args.k_schedule
+            )
+        s_idx = sample_level_indices(k_s, B, levels, args.level_sampling, args.level_high_prob)
+
+        # Stage-1 bootstrap: replace GT anchors at the coarsest level with
+        # student DDIM samples w.p. batch["bootstrap_p"] per sample.
+        x0_used = x0
+        student_mask = None
+        if bootstrap_sample is not None:
+            idx_coarse = idx_levels[levels]
+            z_pred = bootstrap_sample(k_boot, idx_coarse, cond)
+            replace = (
+                jax.random.uniform(k_rep, (B,)) < batch["bootstrap_p"]
+            )[:, None, None]
+            vals_gt = gather_keypoints(x0, idx_coarse)
+            vals = jnp.where(replace, z_pred, vals_gt)
+            # Scatter student values back into a copy of x0 at coarse anchors;
+            # interior anchors of finer levels keep GT (matches reference
+            # interior-anchor replacement at the coarsest set).
+            b_ix = jnp.arange(B)[:, None]
+            x0_used = x0.at[b_ix, idx_coarse].set(vals)
+            student_mask = jnp.zeros((B, T), dtype=bool).at[b_ix, idx_coarse].set(
+                jnp.broadcast_to(replace[:, :, 0], idx_coarse.shape)
+            )
+
+        if args.mode == "adj":
+            x_s, x_prev, mask_s, mask_prev, s_idx, _, _ = build_interp_adjacent_batch(
+                k_batch, x0, args.K_min, levels,
+                recompute_velocity=bool(args.recompute_vel),
+                x0_override=x0_used if bootstrap_sample is not None else None,
+                masks_levels=masks_levels, idx_levels=idx_levels, s_idx=s_idx, **corr,
+            )
+            target = x_prev - x_s
+            conf_s = build_anchor_conf(
+                mask_s, student_mask, args.anchor_conf_teacher,
+                args.anchor_conf_student, args.anchor_conf_endpoints,
+                args.anchor_conf_missing, bool(args.clamp_endpoints),
+            )
+            conf_prev = build_anchor_conf(
+                mask_prev, student_mask, args.anchor_conf_teacher,
+                args.anchor_conf_student, args.anchor_conf_endpoints,
+                args.anchor_conf_missing, bool(args.clamp_endpoints),
+            )
+            if args.anchor_conf_anneal:
+                conf_s = anneal_conf(conf_s, s_idx, levels, args.anchor_conf_anneal_mode)
+                conf_prev = anneal_conf(
+                    conf_prev, jnp.maximum(s_idx - 1, 0), levels, args.anchor_conf_anneal_mode
+                )
+            if args.anchor_conf:
+                mask_in = jnp.stack(
+                    [mask_s.astype(jnp.float32), mask_prev.astype(jnp.float32), conf_s],
+                    axis=-1,
+                )
+                weight = conf_prev
+            else:
+                mask_in = jnp.stack(
+                    [mask_s.astype(jnp.float32), mask_prev.astype(jnp.float32)], axis=-1
+                )
+                weight = mask_prev.astype(jnp.float32)
+        else:  # x0 mode
+            x_s, mask_s, s_idx, _, _ = build_interp_level_batch(
+                k_batch, x0, args.K_min, levels,
+                recompute_velocity=bool(args.recompute_vel),
+                x0_override=x0_used if bootstrap_sample is not None else None,
+                masks_levels=masks_levels, idx_levels=idx_levels, s_idx=s_idx, **corr,
+            )
+            target = x0 - x_s
+            conf_s = build_anchor_conf(
+                mask_s, student_mask, args.anchor_conf_teacher,
+                args.anchor_conf_student, args.anchor_conf_endpoints,
+                args.anchor_conf_missing, bool(args.clamp_endpoints),
+            )
+            if args.anchor_conf_anneal:
+                conf_s = anneal_conf(conf_s, s_idx, levels, args.anchor_conf_anneal_mode)
+            if args.anchor_conf:
+                mask_in = jnp.stack([mask_s.astype(jnp.float32), conf_s], axis=-1)
+                weight = conf_s
+            else:
+                mask_in = mask_s
+                weight = mask_s.astype(jnp.float32)
+
+        delta_hat = model.apply({"params": params}, x_s, s_idx, mask_in, cond)
+        diff = ((delta_hat - target) ** 2).sum(axis=-1)
+        if args.anchor_conf:
+            w = args.w_missing + (args.w_anchor - args.w_missing) * weight
+        else:
+            w = jnp.where(weight > 0.5, args.w_anchor, args.w_missing)
+        loss = (diff * w).sum() / (w.sum() * x0.shape[-1] + 1e-8)
+        return loss, {}
+
+    return loss_fn
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    ds, data_dim = make_dataset(args)
+    loader = iter(make_loader(ds, args))
+    model = build_model(args, data_dim)
+
+    bootstrap_sample = None
+    if args.bootstrap_ckpt:
+        bootstrap_sample, _ = make_bootstrap_sampler(args, data_dim)
+
+    mesh = make_mesh(n_data=args.n_data_shards)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, k_init = jax.random.split(rng)
+    sample_batch = next(loader)
+
+    mc = mask_channels_for(args)
+    params = model.init(
+        k_init,
+        jnp.zeros((2, args.T, data_dim)),
+        jnp.zeros((2,), dtype=jnp.int32),
+        jnp.zeros((2, args.T, mc)) if mc > 1 else jnp.zeros((2, args.T), dtype=bool),
+        {"occ": jnp.asarray(sample_batch["occ"][:2]),
+         "start_goal": jnp.asarray(sample_batch["start_goal"][:2])},
+    )["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model params: {n_params/1e6:.2f}M | mesh: {mesh.shape}")
+
+    tx = make_optimizer(args.lr, args.weight_decay, args.grad_clip)
+    state = init_train_state(params, tx, use_ema=bool(args.use_ema))
+    start_step = 0
+    if args.resume:
+        path = args.resume if os.path.exists(os.path.join(args.resume, "meta.json")) else latest_checkpoint(args.resume)
+        if path:
+            start_step, payload = load_checkpoint(path, params, state.opt_state, params)
+            state = state._replace(
+                step=jnp.asarray(start_step, dtype=jnp.int32),
+                params=payload["params"],
+                opt_state=payload.get("opt_state", state.opt_state),
+                ema_params=payload.get("ema", state.ema_params),
+            )
+            print(f"resumed from {path} @ step {start_step}")
+    state = replicate(state, mesh)
+
+    loss_fn = make_loss_fn(model, args, bootstrap_sample)
+    train_step = make_train_step(loss_fn, tx, args.ema_decay, args.grad_accum)
+
+    host_rng = np.random.RandomState(args.seed + 1)
+    meta = make_meta(args, data_dim)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "run_config.json"), "w") as f:
+        json.dump({"args": vars(args), "meta": meta, "n_params": n_params}, f, indent=2)
+
+    t0 = time.time()
+    batch = sample_batch
+    with mesh:
+        for step in range(start_step, args.steps):
+            dev_batch = {
+                "x": batch["x"], "occ": batch["occ"], "start_goal": batch["start_goal"],
+            }
+            if "sdf" in batch and args.use_sdf:
+                dev_batch["sdf"] = batch["sdf"]
+            if args.mask_policy == "dp" and "kp_idx" in batch:
+                dev_batch["idx_base"] = batch["kp_idx"][:, : args.K_min].astype(np.int32)
+            elif args.mask_policy == "uniform":
+                dev_batch["idx_base"] = sample_idx_policy(
+                    host_rng, "uniform:1.0", args.batch, args.T, args.K_min
+                )
+            dev_batch = shard_batch(dev_batch, mesh)
+            if bootstrap_sample is not None:
+                p = args.bootstrap_replace_prob * min(
+                    1.0, (step + 1) / max(1, args.bootstrap_warmup_steps)
+                )
+                dev_batch["bootstrap_p"] = jnp.float32(p)
+            rng, k_step = jax.random.split(rng)
+            state, metrics = train_step(state, dev_batch, k_step)
+            batch = next(loader)
+            if step % args.log_every == 0:
+                loss = float(metrics["loss"])
+                dt = time.time() - t0
+                sps = args.batch * (step - start_step + 1) / max(dt, 1e-9)
+                print(f"step {step} loss {loss:.4f} | {sps:.1f} samples/s")
+            if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
+                ckpt = os.path.join(args.out_dir, f"ckpt_{step + 1}")
+                save_checkpoint(
+                    ckpt, state.params, state.opt_state, step + 1,
+                    state.ema_params, meta,
+                )
+                print(f"saved {ckpt}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

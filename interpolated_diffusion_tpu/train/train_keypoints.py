@@ -1,0 +1,240 @@
+"""Stage-1 keypoint DDPM trainer (maze family).
+
+Capability parity with reference src/train/train_keypoints.py: gather K
+keypoints under a mixed index policy, optional logit-space transform,
+q_sample, known-endpoint clamping of z_t with eps zeroing at known dims,
+masked eps-MSE, grad-accum + clip + EMA, meta-rich checkpoints.
+
+TPU-native: the whole step (batch corruption → q_sample → fwd/bwd → AdamW →
+EMA) is ONE jitted SPMD program over a (data, model) mesh; anchor indices are
+the only host-side input (tiny int array, policy-mixed).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.denoisers import KeypointDenoiser
+from ..ops.ddpm import q_sample
+from ..ops.schedules import make_schedule
+from ..ops.selection import build_kp_feat_batch
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .batches import build_known_mask_values, gather_keypoints
+from .common import add_data_args, add_train_args, make_dataset, make_loader, sample_idx_policy
+from ..ops.normalize import logit_pos
+from .state import init_train_state, make_optimizer, make_train_step
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("train_keypoints (Stage-1, TPU)")
+    p.add_argument("--T", type=int, default=64)
+    p.add_argument("--K", type=int, default=8)
+    p.add_argument("--N_train", type=int, default=100)
+    p.add_argument("--schedule", type=str, default="linear", choices=["linear", "cosine"])
+    p.add_argument("--d_model", type=int, default=384)
+    p.add_argument("--n_layers", type=int, default=12)
+    p.add_argument("--n_heads", type=int, default=12)
+    p.add_argument("--d_ff", type=int, default=1536)
+    p.add_argument("--d_cond", type=int, default=128)
+    p.add_argument("--maze_channels", type=str, default="32,64,128,128")
+    p.add_argument("--kp_feat_dim", type=int, default=0)
+    p.add_argument("--use_kp_feat", type=int, default=0)
+    p.add_argument("--logit_space", type=int, default=0)
+    p.add_argument("--logit_eps", type=float, default=1e-5)
+    p.add_argument("--clamp_endpoints", type=int, default=1)
+    p.add_argument("--cond_start_goal", type=int, default=1)
+    p.add_argument("--idx_policy", type=str, default="random:1.0",
+                   help='mix like "dp:0.7,uniform:0.2,random:0.1"')
+    p.add_argument("--uniform_jitter", type=float, default=0.0)
+    add_data_args(p)
+    add_train_args(p)
+    return p
+
+
+def make_meta(args, data_dim: int) -> Dict:
+    return {
+        "stage": "keypoints",
+        "T": args.T,
+        "K": args.K,
+        "N_train": args.N_train,
+        "schedule": args.schedule,
+        "d_model": args.d_model,
+        "n_layers": args.n_layers,
+        "n_heads": args.n_heads,
+        "d_ff": args.d_ff,
+        "d_cond": args.d_cond,
+        "maze_channels": args.maze_channels,
+        "kp_feat_dim": args.kp_feat_dim,
+        "use_kp_feat": args.use_kp_feat,
+        "logit_space": args.logit_space,
+        "logit_eps": args.logit_eps,
+        "clamp_endpoints": args.clamp_endpoints,
+        "cond_start_goal": args.cond_start_goal,
+        "with_velocity": args.with_velocity,
+        "use_sdf": args.use_sdf,
+        "data_dim": data_dim,
+        "maze_h": args.maze_h,
+        "maze_w": args.maze_w,
+    }
+
+
+def build_model(args, data_dim: int) -> KeypointDenoiser:
+    return KeypointDenoiser(
+        d_model=args.d_model,
+        n_layers=args.n_layers,
+        n_heads=args.n_heads,
+        d_ff=args.d_ff,
+        d_cond=args.d_cond,
+        use_sdf=bool(args.use_sdf),
+        use_start_goal=bool(args.cond_start_goal),
+        data_dim=data_dim,
+        kp_feat_dim=args.kp_feat_dim if args.use_kp_feat else 0,
+        maze_channels=tuple(int(c) for c in args.maze_channels.split(",")),
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+
+def make_loss_fn(model: KeypointDenoiser, args, schedule):
+    """loss_fn(params, batch, rng): batch has x, occ, start_goal, idx."""
+    T = args.T
+    use_kp_feat = bool(args.use_kp_feat)
+    kp_feat_dim = args.kp_feat_dim
+
+    def loss_fn(params, batch, rng):
+        x0 = batch["x"]
+        idx = batch["idx"]
+        cond = {"occ": batch["occ"], "start_goal": batch["start_goal"]}
+        if "sdf" in batch:
+            cond["sdf"] = batch["sdf"]
+        B, _, D = x0.shape
+        z0 = gather_keypoints(x0, idx)
+        known_mask, known_values = build_known_mask_values(
+            idx, cond, D, T, bool(args.clamp_endpoints)
+        )
+        if args.logit_space:
+            z0 = logit_pos(z0, eps=args.logit_eps)
+            known_values = logit_pos(known_values, eps=args.logit_eps)
+        if use_kp_feat:
+            feat = build_kp_feat_batch(idx, T)
+            if kp_feat_dim > 3:
+                feat = jnp.pad(feat, ((0, 0), (0, 0), (0, kp_feat_dim - 3)))
+            cond["kp_feat"] = feat[:, :, :kp_feat_dim]
+
+        k_t, k_eps = jax.random.split(rng)
+        t = jax.random.randint(k_t, (B,), 0, args.N_train)
+        z_t, eps = q_sample(z0, t, schedule, key=k_eps)
+        z_t = jnp.where(known_mask, known_values, z_t)
+        eps = eps * (~known_mask)
+
+        eps_hat = model.apply({"params": params}, z_t, t, idx, known_mask, cond, T)
+        valid = (~known_mask).astype(jnp.float32)
+        loss = ((eps_hat - eps) ** 2 * valid).sum() / (valid.sum() + 1e-8)
+        return loss, {}
+
+    return loss_fn
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    ds, data_dim = make_dataset(args)
+    loader = iter(make_loader(ds, args))
+    schedule = make_schedule(args.schedule, args.N_train)
+    model = build_model(args, data_dim)
+
+    mesh = make_mesh(n_data=args.n_data_shards)
+    rng = jax.random.PRNGKey(args.seed)
+    rng, k_init = jax.random.split(rng)
+
+    sample_batch = next(loader)
+    host_rng = np.random.RandomState(args.seed + 1)
+    kp0 = sample_batch.get("kp_idx")
+    idx0 = sample_idx_policy(host_rng, args.idx_policy, args.batch, args.T, args.K, kp0)
+    init_cond = {
+        "occ": jnp.asarray(sample_batch["occ"][:2]),
+        "start_goal": jnp.asarray(sample_batch["start_goal"][:2]),
+    }
+    params = model.init(
+        k_init,
+        jnp.zeros((2, args.K, data_dim)),
+        jnp.zeros((2,), dtype=jnp.int32),
+        jnp.asarray(idx0[:2]),
+        jnp.zeros((2, args.K, data_dim), dtype=bool),
+        init_cond,
+        args.T,
+    )["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"model params: {n_params/1e6:.2f}M | mesh: {mesh.shape}")
+
+    tx = make_optimizer(args.lr, args.weight_decay, args.grad_clip)
+    state = init_train_state(params, tx, use_ema=bool(args.use_ema))
+    start_step = 0
+    if args.resume:
+        path = (
+            args.resume
+            if os.path.exists(os.path.join(args.resume, "meta.json"))
+            else latest_checkpoint(args.resume)
+        )
+        if path:
+            start_step, payload = load_checkpoint(path, params, state.opt_state, params)
+            state = state._replace(
+                step=jnp.asarray(start_step, dtype=jnp.int32),
+                params=payload["params"],
+                opt_state=payload.get("opt_state", state.opt_state),
+                ema_params=payload.get("ema", state.ema_params),
+            )
+            print(f"resumed from {path} @ step {start_step}")
+    state = replicate(state, mesh)
+
+    loss_fn = make_loss_fn(model, args, schedule)
+    train_step = make_train_step(loss_fn, tx, args.ema_decay, args.grad_accum)
+
+    meta = make_meta(args, data_dim)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(os.path.join(args.out_dir, "run_config.json"), "w") as f:
+        json.dump({"args": vars(args), "meta": meta, "n_params": n_params}, f, indent=2)
+
+    t0 = time.time()
+    batch = sample_batch
+    with mesh:
+        for step in range(start_step, args.steps):
+            kp = batch.get("kp_idx")
+            idx = sample_idx_policy(
+                host_rng, args.idx_policy, args.batch, args.T, args.K, kp,
+                args.uniform_jitter,
+            )
+            dev_batch = {
+                "x": batch["x"], "occ": batch["occ"],
+                "start_goal": batch["start_goal"], "idx": idx,
+            }
+            if "sdf" in batch and args.use_sdf:
+                dev_batch["sdf"] = batch["sdf"]
+            dev_batch = shard_batch(dev_batch, mesh)
+            rng, k_step = jax.random.split(rng)
+            state, metrics = train_step(state, dev_batch, k_step)
+            batch = next(loader)  # overlap host batch build with device step
+            if step % args.log_every == 0:
+                loss = float(metrics["loss"])
+                dt = time.time() - t0
+                sps = args.batch * (step - start_step + 1) / max(dt, 1e-9)
+                print(f"step {step} loss {loss:.4f} | {sps:.1f} samples/s")
+            if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
+                ckpt = os.path.join(args.out_dir, f"ckpt_{step + 1}")
+                save_checkpoint(
+                    ckpt, state.params, state.opt_state, step + 1,
+                    state.ema_params, meta,
+                )
+                print(f"saved {ckpt}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

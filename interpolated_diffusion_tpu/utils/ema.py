@@ -9,10 +9,13 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 
 
 def ema_init(params: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: x, params)
+    # Real copies: aliasing params would break buffer donation in the jitted
+    # train step (same buffer donated twice).
+    return jax.tree_util.tree_map(jnp.copy, params)
 
 
 def ema_update(ema_params: Any, params: Any, decay: float) -> Any:

@@ -1,0 +1,85 @@
+"""End-to-end trainer + sampler smoke tests (tiny models, CPU mesh).
+
+The reference has no trainer tests; these are the integration layer the TPU
+build adds: Stage-1 train → Stage-2 train (with bootstrap) → jitted
+generation pipeline → metrics, all through the real CLIs.
+"""
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tmp_run(tmp_path_factory):
+    return tmp_path_factory.mktemp("e2e")
+
+
+TINY = [
+    "--T", "32", "--batch", "16", "--num_samples", "64",
+    "--d_model", "32", "--n_layers", "2", "--n_heads", "2", "--d_ff", "64",
+    "--maze_channels", "8,8", "--maze_h", "9", "--maze_w", "9",
+    "--log_every", "2", "--bf16", "0",
+]
+
+
+def test_train_keypoints_and_resume(tmp_run):
+    from interpolated_diffusion_tpu.train.train_keypoints import main
+
+    out = str(tmp_run / "kp")
+    main(TINY + ["--K", "4", "--steps", "4", "--save_every", "4", "--out_dir", out])
+    assert os.path.exists(os.path.join(out, "ckpt_4", "meta.json"))
+    # resume continues from step 4
+    main(TINY + ["--K", "4", "--steps", "6", "--save_every", "6", "--out_dir", out,
+                 "--resume", out])
+    assert os.path.exists(os.path.join(out, "ckpt_6"))
+
+
+def test_train_interp_levels_modes(tmp_run):
+    from interpolated_diffusion_tpu.train.train_interp_levels import main
+
+    out = str(tmp_run / "il")
+    main(TINY + ["--K_min", "4", "--levels", "2", "--mode", "adj",
+                 "--anchor_conf", "1", "--anchor_conf_anneal", "1",
+                 "--corrupt_mode", "dist", "--corrupt_sigma_max", "0.05",
+                 "--steps", "3", "--save_every", "3", "--out_dir", out])
+    assert os.path.exists(os.path.join(out, "ckpt_3", "meta.json"))
+    out_x0 = str(tmp_run / "il_x0")
+    main(TINY + ["--K_min", "4", "--levels", "2", "--mode", "x0",
+                 "--steps", "2", "--save_every", "2", "--out_dir", out_x0])
+    out_causal = str(tmp_run / "il_causal")
+    main(TINY + ["--K_min", "4", "--levels", "2", "--mode", "adj", "--causal", "1",
+                 "--steps", "2", "--save_every", "2", "--out_dir", out_causal])
+
+
+def test_train_interp_levels_bootstrap(tmp_run):
+    from interpolated_diffusion_tpu.train.train_interp_levels import main
+
+    kp_ckpt = str(tmp_run / "kp" / "ckpt_6")
+    out = str(tmp_run / "il_boot")
+    main(TINY + ["--K_min", "4", "--levels", "2", "--mode", "adj",
+                 "--bootstrap_ckpt", kp_ckpt, "--bootstrap_ddim_steps", "3",
+                 "--steps", "2", "--save_every", "2", "--out_dir", out])
+    assert os.path.exists(os.path.join(out, "ckpt_2"))
+
+
+def test_generate_pipeline_and_metrics(tmp_run):
+    from interpolated_diffusion_tpu.sample.generate import main
+
+    out = str(tmp_run / "gen")
+    summary = main([
+        "--kp_ckpt", str(tmp_run / "kp" / "ckpt_6"),
+        "--interp_ckpt", str(tmp_run / "il" / "ckpt_3"),
+        "--num_batches", "2", "--batch", "8", "--num_samples", "64",
+        "--maze_h", "9", "--maze_w", "9",
+        "--compare_oracle", "1", "--bf16", "0", "--out_dir", out,
+    ])
+    assert os.path.exists(os.path.join(out, "metrics.csv"))
+    assert os.path.exists(os.path.join(out, "samples.npz"))
+    # oracle interp from GT anchors must beat student interp on MSE-to-GT
+    assert summary["oracle_interp_mse_to_gt"] <= summary["interp_mse_to_gt"] + 1e-6
+    # endpoints are hard-clamped -> goal distance ~ 0 and success = 1
+    assert summary["refined_goal_dist"] < 1e-4
+    with np.load(os.path.join(out, "samples.npz")) as f:
+        assert f["refined"].shape == (16, 32, 2)
+        assert f["idx"].shape == (16, 4)
