@@ -40,72 +40,14 @@ from ..train.batches import (
     compute_sigma_for_level,
     gather_keypoints,
 )
+from ..models.loading import (  # noqa: F401  (re-exported)
+    load_interp_model,
+    load_keypoint_model,
+    load_selector_model,
+)
+from ..models.selector import select_topk_indices
 from ..train.common import add_data_args, make_dataset, sample_idx_policy
 from ..train.train_interp_levels import anneal_conf, build_anchor_conf
-from ..utils.checkpoint import latest_checkpoint, load_checkpoint, read_meta
-
-
-# ---------------------------------------------------------------------------
-# model reconstruction from checkpoint meta (the reference's config channel)
-# ---------------------------------------------------------------------------
-
-def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
-    path = path if os.path.exists(os.path.join(path, "meta.json")) else latest_checkpoint(path)
-    _, meta = read_meta(path)
-    if meta.get("stage") != "keypoints":
-        raise ValueError(f"{path} is not a Stage-1 checkpoint")
-    data_dim = int(meta["data_dim"])
-    model = KeypointDenoiser(
-        d_model=meta["d_model"], n_layers=meta["n_layers"], n_heads=meta["n_heads"],
-        d_ff=meta["d_ff"], d_cond=meta["d_cond"],
-        use_sdf=bool(meta["use_sdf"]), use_start_goal=bool(meta["cond_start_goal"]),
-        data_dim=data_dim,
-        kp_feat_dim=meta.get("kp_feat_dim", 0) if meta.get("use_kp_feat") else 0,
-        maze_channels=tuple(int(c) for c in meta["maze_channels"].split(",")),
-        dtype=jnp.bfloat16 if bf16 else jnp.float32,
-    )
-    K, T = int(meta["K"]), int(meta["T"])
-    tmpl = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, K, data_dim)), jnp.zeros((1,), dtype=jnp.int32),
-        jnp.zeros((1, K), dtype=jnp.int32), jnp.zeros((1, K, data_dim), dtype=bool),
-        {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
-         "start_goal": jnp.zeros((1, 4))},
-        T,
-    )["params"]
-    _, payload = load_checkpoint(path, tmpl)
-    params = payload.get("ema") if (use_ema and "ema" in payload) else payload["params"]
-    return model, params, meta
-
-
-def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
-    path = path if os.path.exists(os.path.join(path, "meta.json")) else latest_checkpoint(path)
-    _, meta = read_meta(path)
-    if meta.get("stage") != "interp_levels":
-        raise ValueError(f"{path} is not a Stage-2 checkpoint")
-    data_dim = int(meta["data_dim"])
-    model = InterpLevelDenoiser(
-        d_model=meta["d_model"], n_layers=meta["n_layers"], n_heads=meta["n_heads"],
-        d_ff=meta["d_ff"], d_cond=meta["d_cond"],
-        use_sdf=bool(meta["use_sdf"]), use_start_goal=bool(meta["cond_start_goal"]),
-        data_dim=data_dim, max_levels=max(8, int(meta["levels"])),
-        mask_channels=int(meta["mask_channels"]),
-        maze_channels=tuple(int(c) for c in meta["maze_channels"].split(",")),
-        causal=bool(meta.get("causal", 0)),
-        dtype=jnp.bfloat16 if bf16 else jnp.float32,
-    )
-    T = int(meta["T"])
-    mc = int(meta["mask_channels"])
-    tmpl = model.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, T, data_dim)), jnp.zeros((1,), dtype=jnp.int32),
-        jnp.zeros((1, T, mc)) if mc > 1 else jnp.zeros((1, T), dtype=bool),
-        {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
-         "start_goal": jnp.zeros((1, 4))},
-    )["params"]
-    _, payload = load_checkpoint(path, tmpl)
-    params = payload.get("ema") if (use_ema and "ema" in payload) else payload["params"]
-    return model, params, meta
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +86,7 @@ class PipelineConfig:
         logit_space: bool = False,
         logit_eps: float = 1e-5,
         recompute_vel: bool = False,
+        stage2_mask_policy: str = "base",  # base | selector
     ):
         self.__dict__.update(locals())
         del self.__dict__["self"]
@@ -200,11 +143,18 @@ def make_pipeline(
             z = sigmoid_pos(z)
         return z
 
-    def stage2(interp_params, key, x_pred, idx, cond):
+    def stage2(interp_params, key, x_pred, idx, cond, selector_logits=None):
         B = idx.shape[0]
-        masks_levels, _ = build_nested_masks_from_base(
-            key, idx, T, levels, k_schedule=cfg.k_schedule
-        )
+        if cfg.stage2_mask_policy == "selector" and selector_logits is not None:
+            from ..ops.keyframes import build_nested_masks_from_logits
+
+            masks_levels, _ = build_nested_masks_from_logits(
+                selector_logits, cfg.K_min, levels, k_schedule=cfg.k_schedule
+            )
+        else:
+            masks_levels, _ = build_nested_masks_from_base(
+                key, idx, T, levels, k_schedule=cfg.k_schedule
+            )
         x = x_pred
         noise_keys = jax.random.split(jax.random.fold_in(key, 7), levels + 1)
         if cfg.stage2_mode == "x0":
@@ -263,13 +213,14 @@ def make_pipeline(
         return x
 
     def pipeline(kp_params, interp_params, key, idx, cond,
-                 z_override: Optional[jnp.ndarray] = None):
+                 z_override: Optional[jnp.ndarray] = None,
+                 selector_logits: Optional[jnp.ndarray] = None):
         k1, k2 = jax.random.split(key)
         z_pred = stage1(kp_params, k1, idx, cond) if z_override is None else z_override
         x_interp = interpolate_from_indices(
             idx, z_pred, T, recompute_velocity=cfg.recompute_vel
         )
-        x_refined = stage2(interp_params, k2, x_interp, idx, cond)
+        x_refined = stage2(interp_params, k2, x_interp, idx, cond, selector_logits)
         return x_interp, x_refined, z_pred
 
     return pipeline
@@ -289,8 +240,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ddim_steps", type=int, default=20)
     p.add_argument("--time_spacing", type=str, default="linear")
     p.add_argument("--kp_index_mode", type=str, default="uniform",
-                   choices=["random", "uniform", "uniform_jitter"])
+                   choices=["random", "uniform", "uniform_jitter", "selector"])
     p.add_argument("--kp_jitter", type=float, default=0.0)
+    p.add_argument("--selector_ckpt", type=str, default=None)
+    p.add_argument("--selector_stochastic", type=int, default=0)
+    p.add_argument("--selector_tau", type=float, default=1.0)
+    p.add_argument("--stage2_mask_policy", type=str, default="base",
+                   choices=["base", "selector"])
     p.add_argument("--stage2_mode", type=str, default=None, help="default: from meta")
     p.add_argument("--clamp_policy", type=str, default="endpoints",
                    choices=["endpoints", "all_anchors", "none"])
@@ -340,7 +296,16 @@ def main(argv=None):
         logit_space=bool(kp_meta.get("logit_space", 0)),
         logit_eps=float(kp_meta.get("logit_eps", 1e-5)),
         recompute_vel=bool(il_meta.get("recompute_vel", 0)) and int(kp_meta["data_dim"]) == 4,
+        stage2_mask_policy=args.stage2_mask_policy,
     )
+    selector = None
+    if args.kp_index_mode == "selector" or args.stage2_mask_policy == "selector":
+        if not args.selector_ckpt:
+            raise ValueError("selector mode requested but --selector_ckpt missing")
+        sel_model, sel_params, sel_meta = load_selector_model(
+            args.selector_ckpt, bool(args.bf16)
+        )
+        selector = jax.jit(lambda cond: sel_model.apply({"params": sel_params}, cond))
     kp_schedule = make_schedule(kp_meta["schedule"], int(kp_meta["N_train"]))
     data_dim = int(kp_meta["data_dim"])
     pipeline = jax.jit(make_pipeline(kp_model, interp_model, kp_schedule, cfg, data_dim))
@@ -355,7 +320,7 @@ def main(argv=None):
     rows = []
     all_out = {"interp": [], "refined": [], "keypoints": [], "idx": [], "gt": []}
     policy = {"random": "random:1.0", "uniform": "uniform:1.0",
-              "uniform_jitter": "uniform:1.0"}[args.kp_index_mode]
+              "uniform_jitter": "uniform:1.0", "selector": "uniform:1.0"}[args.kp_index_mode]
     jitter = args.kp_jitter if args.kp_index_mode == "uniform_jitter" else 0.0
 
     t_total, n_total = 0.0, 0
@@ -364,11 +329,25 @@ def main(argv=None):
         batch = ds.get_batch(indices)
         cond = {"occ": jnp.asarray(batch["occ"]),
                 "start_goal": jnp.asarray(batch["start_goal"])}
-        idx = jnp.asarray(sample_idx_policy(
-            host_rng, policy, args.batch, T, K, None, jitter))
+        sel_logits = None
+        if selector is not None:
+            sel_cond = dict(cond)
+            if sel_meta.get("use_level"):
+                sel_cond["level"] = jnp.full((args.batch, 1), K / max(1, T - 1))
+            sel_logits = selector(sel_cond)
+        if args.kp_index_mode == "selector":
+            key, k_sel = jax.random.split(key)
+            idx = select_topk_indices(
+                sel_logits, K, bool(args.selector_stochastic),
+                args.selector_tau, k_sel,
+            )
+        else:
+            idx = jnp.asarray(sample_idx_policy(
+                host_rng, policy, args.batch, T, K, None, jitter))
         key, k_b = jax.random.split(key)
         t0 = time.time()
-        x_interp, x_refined, z_pred = pipeline(kp_params, interp_params, k_b, idx, cond)
+        x_interp, x_refined, z_pred = pipeline(
+            kp_params, interp_params, k_b, idx, cond, None, sel_logits)
         x_refined.block_until_ready()
         dt = time.time() - t0
         if bi > 0:  # skip compile batch in throughput

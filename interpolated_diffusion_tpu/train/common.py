@@ -79,11 +79,13 @@ def sample_idx_policy(
     K: int,
     kp_idx: Optional[np.ndarray] = None,
     uniform_jitter: float = 0.0,
+    selector_idx: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Host-side anchor-index sampling with per-sample policy mixing.
 
     Policies: random (sorted random interior + endpoints), uniform (evenly
-    spaced, optional jitter), dp (precomputed kp_idx from the dataset).
+    spaced, optional jitter), dp (precomputed kp_idx from the dataset),
+    selector (indices produced by a learned selector, passed in).
     """
     mix = parse_policy_mix(policy_mix) or [("random", 1.0)]
     names = [n for n, _ in mix]
@@ -94,6 +96,8 @@ def sample_idx_policy(
         name = names[choice[b]]
         if name == "dp" and kp_idx is not None:
             idx[b] = kp_idx[b][:K]
+        elif name == "selector" and selector_idx is not None:
+            idx[b] = selector_idx[b][:K]
         elif name == "uniform":
             base = np.linspace(0, T - 1, K)
             if uniform_jitter > 0 and K > 2:

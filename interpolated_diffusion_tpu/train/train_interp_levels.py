@@ -49,7 +49,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mode", type=str, default="adj", choices=["adj", "x0"])
     p.add_argument("--causal", type=int, default=0)
     p.add_argument("--mask_policy", type=str, default="random_nested",
-                   choices=["random_nested", "uniform", "dp"])
+                   choices=["random_nested", "uniform", "dp", "selector", "selector_level"])
+    p.add_argument("--selector_ckpt", type=str, default=None)
     p.add_argument("--level_sampling", type=str, default="high", choices=["uniform", "high"])
     p.add_argument("--level_high_prob", type=float, default=0.5)
     p.add_argument("--d_model", type=int, default=384)
@@ -270,7 +271,35 @@ def make_bootstrap_sampler(args, data_dim: int):
     return sample, K
 
 
-def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None):
+def make_selector_logits_fn(args):
+    """Frozen selector logits for the selector/selector_level mask policies."""
+    from ..models.loading import load_selector_model
+    from ..ops.keyframes import compute_k_schedule
+
+    sel_model, sel_params, sel_meta = load_selector_model(args.selector_ckpt, bool(args.bf16))
+    k_list = compute_k_schedule(args.T, args.K_min, args.levels, args.k_schedule)
+
+    def logits_fn(cond):
+        if args.mask_policy == "selector_level" and sel_meta.get("use_level"):
+            outs = []
+            for s in range(args.levels + 1):
+                lv = (s / max(1, args.levels)
+                      if sel_meta.get("level_mode") == "s_norm"
+                      else k_list[s] / max(1, args.T - 1))
+                sc = dict(cond)
+                sc["level"] = jnp.full((cond["occ"].shape[0], 1), lv)
+                outs.append(sel_model.apply({"params": sel_params}, sc))
+            return jnp.stack(outs, axis=1)  # [B, levels+1, T]
+        sc = dict(cond)
+        if sel_meta.get("use_level"):
+            sc["level"] = jnp.full((cond["occ"].shape[0], 1), args.K_min / max(1, args.T - 1))
+        return sel_model.apply({"params": sel_params}, sc)  # [B, T]
+
+    return logits_fn
+
+
+def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None,
+                 selector_logits_fn=None):
     """loss_fn(params, batch, rng); batch: x, occ, start_goal, [idx_base],
     [bootstrap_p] scalar."""
     levels = args.levels
@@ -297,7 +326,22 @@ def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None):
         B, T, D = x0.shape
         k_mask, k_s, k_batch, k_boot, k_rep = jax.random.split(rng, 5)
 
-        if "idx_base" in batch:
+        if selector_logits_fn is not None:
+            from ..ops.keyframes import (
+                build_nested_masks_from_level_logits,
+                build_nested_masks_from_logits,
+            )
+
+            logits = jax.lax.stop_gradient(selector_logits_fn(cond))
+            if logits.ndim == 3:
+                masks_levels, idx_levels = build_nested_masks_from_level_logits(
+                    logits, args.K_min, levels, k_schedule=args.k_schedule
+                )
+            else:
+                masks_levels, idx_levels = build_nested_masks_from_logits(
+                    logits, args.K_min, levels, k_schedule=args.k_schedule
+                )
+        elif "idx_base" in batch:
             masks_levels, idx_levels = build_nested_masks_from_base(
                 k_mask, batch["idx_base"], T, levels, k_schedule=args.k_schedule
             )
@@ -439,7 +483,13 @@ def main(argv=None):
             print(f"resumed from {path} @ step {start_step}")
     state = replicate(state, mesh)
 
-    loss_fn = make_loss_fn(model, args, bootstrap_sample)
+    selector_logits_fn = None
+    if args.mask_policy in ("selector", "selector_level"):
+        if not args.selector_ckpt:
+            raise ValueError(f"mask_policy={args.mask_policy} needs --selector_ckpt")
+        selector_logits_fn = make_selector_logits_fn(args)
+
+    loss_fn = make_loss_fn(model, args, bootstrap_sample, selector_logits_fn)
     train_step = make_train_step(loss_fn, tx, args.ema_decay, args.grad_accum)
 
     host_rng = np.random.RandomState(args.seed + 1)

@@ -53,8 +53,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--clamp_endpoints", type=int, default=1)
     p.add_argument("--cond_start_goal", type=int, default=1)
     p.add_argument("--idx_policy", type=str, default="random:1.0",
-                   help='mix like "dp:0.7,uniform:0.2,random:0.1"')
+                   help='mix like "dp:0.5,uniform:0.2,random:0.2,selector:0.1"')
     p.add_argument("--uniform_jitter", type=float, default=0.0)
+    p.add_argument("--selector_ckpt", type=str, default=None)
+    p.add_argument("--selector_stochastic", type=int, default=0)
+    p.add_argument("--selector_tau", type=float, default=1.0)
     add_data_args(p)
     add_train_args(p)
     return p
@@ -197,6 +200,28 @@ def main(argv=None):
     loss_fn = make_loss_fn(model, args, schedule)
     train_step = make_train_step(loss_fn, tx, args.ema_decay, args.grad_accum)
 
+    selector_fn = None
+    if "selector" in args.idx_policy:
+        if not args.selector_ckpt:
+            raise ValueError("idx_policy includes selector but --selector_ckpt missing")
+        from ..models.loading import load_selector_model
+        from ..models.selector import select_topk_indices
+
+        sel_model, sel_params, sel_meta = load_selector_model(
+            args.selector_ckpt, bool(args.bf16)
+        )
+
+        def selector_fn(cond, k_sel):
+            sc = dict(cond)
+            if sel_meta.get("use_level"):
+                sc["level"] = jnp.full((cond["occ"].shape[0], 1), args.K / max(1, args.T - 1))
+            logits = sel_model.apply({"params": sel_params}, sc)
+            return select_topk_indices(
+                logits, args.K, bool(args.selector_stochastic), args.selector_tau, k_sel
+            )
+
+        selector_fn = jax.jit(selector_fn)
+
     meta = make_meta(args, data_dim)
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "run_config.json"), "w") as f:
@@ -207,9 +232,17 @@ def main(argv=None):
     with mesh:
         for step in range(start_step, args.steps):
             kp = batch.get("kp_idx")
+            sel_idx = None
+            if selector_fn is not None:
+                rng, k_sel = jax.random.split(rng)
+                sel_idx = np.asarray(selector_fn(
+                    {"occ": jnp.asarray(batch["occ"]),
+                     "start_goal": jnp.asarray(batch["start_goal"])},
+                    k_sel,
+                ))
             idx = sample_idx_policy(
                 host_rng, args.idx_policy, args.batch, args.T, args.K, kp,
-                args.uniform_jitter,
+                args.uniform_jitter, sel_idx,
             )
             dev_batch = {
                 "x": batch["x"], "occ": batch["occ"],
