@@ -1,0 +1,389 @@
+"""Sinkhorn correspondence warp interpolator.
+
+Capability parity with reference src/models/sinkhorn_warp.py: global
+SE(2)/phase-correlation alignment (FFT cross-power :348-457), windowed
+log-domain Sinkhorn token matching with a dustbin row/column (:36-50,
+:507-750), learnable τ (softplus) and dustbin logits, spatial distance
+penalty/radius masking, forward-backward consistency confidence (:834), flow
+composition through the global SE(2) (:778), confidence-shrunk warping with a
+LERP fallback when confidence ≈ 0 (:1010-1024), and optional matching/warping
+in a straightener's space.
+
+TPU-native design: jnp.fft for phase correlation; Sinkhorn iterations are a
+statically-unrolled logsumexp ladder; windows are processed as one batched
+matmul per window-size class (main grid + right/bottom/corner tails, all
+static shapes); the reference's per-pair Python driver becomes a vectorized
+per-frame gather + warp + blend.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.image import grid_sample_bilinear, resize_bilinear, warp
+from ..utils.video_tokens import patchify_latents
+
+Dtype = Any
+
+
+def sinkhorn_log(logits: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Log-domain Sinkhorn normalization over the last two dims."""
+    logp = logits
+    for _ in range(int(iters)):
+        logp = logp - jax.scipy.special.logsumexp(logp, axis=-1, keepdims=True)
+        logp = logp - jax.scipy.special.logsumexp(logp, axis=-2, keepdims=True)
+    return logp
+
+
+def _affine_sample(feats: jnp.ndarray, theta, dx, dy, pad_zero: bool = True) -> jnp.ndarray:
+    """Apply per-sample SE(2) (rotation about center + normalized shift) to
+    [B,Hp,Wp,D] via align_corners=True grid sampling (reference :244-263)."""
+    B, Hp, Wp, D = feats.shape
+    fm = jnp.transpose(feats, (0, 3, 1, 2))  # [B,D,Hp,Wp]
+    ys = jnp.linspace(-1.0, 1.0, Hp) if Hp > 1 else jnp.zeros((1,))
+    xs = jnp.linspace(-1.0, 1.0, Wp) if Wp > 1 else jnp.zeros((1,))
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    cos_t = jnp.cos(theta)[:, None, None]
+    sin_t = jnp.sin(theta)[:, None, None]
+    tx = (2.0 * dx / max(Wp - 1, 1))[:, None, None]
+    ty = (2.0 * dy / max(Hp - 1, 1))[:, None, None]
+    sx = cos_t * gx[None] - sin_t * gy[None] + tx
+    sy = sin_t * gx[None] + cos_t * gy[None] + ty
+    grid = jnp.stack([sx, sy], axis=-1)
+    if pad_zero:
+        # zero padding: mask out-of-range samples after border sampling
+        inside = (
+            (sx >= -1.0) & (sx <= 1.0) & (sy >= -1.0) & (sy <= 1.0)
+        )[:, None]
+        out = grid_sample_bilinear(fm, grid) * inside
+    else:
+        out = grid_sample_bilinear(fm, grid)
+    return jnp.transpose(out, (0, 2, 3, 1))
+
+
+def _phasecorr_shift(f0: jnp.ndarray, f1: jnp.ndarray):
+    """FFT cross-power peak shift; f0/f1 [B,C,Hp,Wp] → (dx, dy, peak)."""
+    B, C, Hp, Wp = f0.shape
+    f0 = f0 - f0.mean(axis=(2, 3), keepdims=True)
+    f1 = f1 - f1.mean(axis=(2, 3), keepdims=True)
+    F0 = jnp.fft.rfft2(f0)
+    F1 = jnp.fft.rfft2(f1)
+    R = (F0 * jnp.conj(F1)).sum(axis=1)
+    R = R / (jnp.abs(R) + 1e-6)
+    corr = jnp.fft.irfft2(R, s=(Hp, Wp))
+    flat = corr.reshape(B, -1)
+    idx = jnp.argmax(flat, axis=-1)
+    peak = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+    dy = idx // Wp
+    dx = idx % Wp
+    dy = jnp.where(dy > Hp // 2, dy - Hp, dy).astype(jnp.float32)
+    dx = jnp.where(dx > Wp // 2, dx - Wp, dx).astype(jnp.float32)
+    return dx, dy, peak
+
+
+class SinkhornWarpInterpolator(nn.Module):
+    in_channels: int
+    patch_size: int = 4
+    win_size: int = 5
+    win_stride: int = 0                 # 0 → = win_size (non-overlapping)
+    global_mode: str = "phasecorr"      # phasecorr | none
+    angles_deg: Tuple[float, ...] = (-10.0, -5.0, 0.0, 5.0, 10.0)
+    sinkhorn_iters: int = 20
+    sinkhorn_tau: float = 0.05
+    dustbin_logit: float = -2.0
+    spatial_gamma: float = 0.0
+    spatial_radius: int = 0
+    fb_sigma: float = 0.0
+    d_match: int = 0                    # groupmean projection target dim
+    learn_tau: bool = False
+    learn_dustbin: bool = False
+    tau_min: float = 1e-3
+    straightener: Optional[nn.Module] = None
+    warp_space: str = "z"               # z | s
+    dtype: Dtype = jnp.float32
+
+    def _tau(self):
+        if self.learn_tau:
+            init = max(self.sinkhorn_tau - self.tau_min, 1e-6)
+            raw0 = math.log(math.expm1(init))
+            raw = self.param("tau_raw", lambda k: jnp.asarray(raw0, jnp.float32))
+            return jax.nn.softplus(raw) + self.tau_min
+        return jnp.asarray(self.sinkhorn_tau, jnp.float32)
+
+    def _dustbin(self):
+        if self.learn_dustbin:
+            return self.param(
+                "dustbin", lambda k: jnp.asarray(self.dustbin_logit, jnp.float32)
+            )
+        return jnp.asarray(self.dustbin_logit, jnp.float32)
+
+    # -- token features ------------------------------------------------------
+    def token_features(self, z: jnp.ndarray, assume_straightened: bool = False):
+        """z [B,C,H,W] → (L2-normalized tokens [B,Hp,Wp,Dm], hp, wp)."""
+        if self.straightener is not None and not assume_straightened:
+            z = self.straightener.encode(z)
+        tokens, (hp, wp) = patchify_latents(z[:, None], self.patch_size)
+        tok = tokens[:, 0].astype(jnp.float32)
+        B, N, D = tok.shape
+        if 0 < self.d_match < D:
+            if D % self.d_match:
+                raise ValueError(f"d_match {self.d_match} must divide token dim {D}")
+            tok = tok.reshape(B, N, self.d_match, D // self.d_match).mean(axis=-1)
+        tok = tok / jnp.maximum(jnp.linalg.norm(tok, axis=-1, keepdims=True), 1e-6)
+        return tok.reshape(B, hp, wp, -1), hp, wp
+
+    # -- global alignment ----------------------------------------------------
+    def _global_se2(self, f0: jnp.ndarray, f1: jnp.ndarray):
+        """Best (θ, dx, dy) over the static angle list via phase correlation
+        per rotated candidate (reference _phasecorr_se2_*_batch)."""
+        B = f0.shape[0]
+        if self.global_mode == "none":
+            z = jnp.zeros((B,), jnp.float32)
+            return z, z, z
+        f0c = jnp.transpose(f0, (0, 3, 1, 2)).astype(jnp.float32)
+        best = (jnp.full((B,), -jnp.inf), jnp.zeros((B,)), jnp.zeros((B,)), jnp.zeros((B,)))
+        for angle_deg in self.angles_deg:
+            theta = jnp.full((B,), float(angle_deg) * math.pi / 180.0)
+            zeros = jnp.zeros((B,))
+            f1_rot = _affine_sample(f1, theta, zeros, zeros)
+            dx_s, dy_s, peak = _phasecorr_shift(
+                f0c, jnp.transpose(f1_rot, (0, 3, 1, 2)).astype(jnp.float32)
+            )
+            cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+            dx = -(cos_t * dx_s - sin_t * dy_s)
+            dy = -(sin_t * dx_s + cos_t * dy_s)
+            better = peak > best[0]
+            best = (
+                jnp.where(better, peak, best[0]),
+                jnp.where(better, theta, best[1]),
+                jnp.where(better, dx, best[2]),
+                jnp.where(better, dy, best[3]),
+            )
+        return best[1], best[2], best[3]
+
+    # -- windowed sinkhorn ---------------------------------------------------
+    def _window_match(self, x: jnp.ndarray, y: jnp.ndarray, h: int, w: int):
+        """x/y: [Nb, h*w, D] window tokens → (delta [Nb,h,w,2], conf [Nb,h,w])."""
+        Nb, n, D = x.shape
+        logits = jnp.einsum("bnd,bmd->bnm", x, y) / math.sqrt(max(1.0, float(D)))
+        logits = logits / jnp.maximum(self._tau(), 1e-6)
+        if self.spatial_gamma > 0.0 or self.spatial_radius > 0:
+            yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+            coords = jnp.stack([xx, yy], axis=-1).reshape(n, 2).astype(jnp.float32)
+            diff = coords[:, None] - coords[None]
+            dist2 = (diff * diff).sum(-1)
+            if self.spatial_gamma > 0.0:
+                logits = logits - self.spatial_gamma * dist2[None]
+            if self.spatial_radius > 0:
+                logits = jnp.where(
+                    dist2[None] > float(self.spatial_radius ** 2), -1e4, logits
+                )
+        dust = self._dustbin()
+        logp = jnp.full((Nb, n + 1, n + 1), dust, dtype=logits.dtype)
+        logp = logp.at[:, :n, :n].set(logits)
+        logp = sinkhorn_log(logp, self.sinkhorn_iters)
+        p = jnp.exp(logp)
+        p_xy = p[:, :n, :n]
+        mass = jnp.maximum(p_xy.sum(axis=2, keepdims=True), 1e-8)
+        yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        coords = jnp.stack([xx, yy], axis=-1).reshape(n, 2).astype(jnp.float32)
+        q = jnp.einsum("bnm,md->bnd", p_xy, coords) / mass
+        delta = (q - coords[None]).reshape(Nb, h, w, 2)
+        conf = (1.0 - p[:, :n, n]).reshape(Nb, h, w)
+        return delta, conf
+
+    def _local_sinkhorn(self, f0: jnp.ndarray, f1: jnp.ndarray, hp: int, wp: int):
+        """Windowed matching over [B,Hp,Wp,D]; returns (delta, conf)."""
+        B, _, _, D = f0.shape
+        win = self.win_size
+        stride = self.win_stride if self.win_stride > 0 else win
+
+        if stride >= win:
+            # non-overlapping: main grid + static tail blocks
+            delta = jnp.zeros((B, hp, wp, 2))
+            conf = jnp.zeros((B, hp, wp))
+
+            def run_block(y0, x0, h, w):
+                nonlocal delta, conf
+                x = f0[:, y0:y0 + h, x0:x0 + w].reshape(B, h * w, D)
+                y = f1[:, y0:y0 + h, x0:x0 + w].reshape(B, h * w, D)
+                d, c = self._window_match(x, y, h, w)
+                delta = delta.at[:, y0:y0 + h, x0:x0 + w].set(d)
+                conf = conf.at[:, y0:y0 + h, x0:x0 + w].set(c)
+
+            nH, nW = hp // win, wp // win
+            if nH > 0 and nW > 0:
+                hm, wm = nH * win, nW * win
+                fb0 = (f0[:, :hm, :wm].reshape(B, nH, win, nW, win, D)
+                       .transpose(0, 1, 3, 2, 4, 5).reshape(B * nH * nW, win * win, D))
+                fb1 = (f1[:, :hm, :wm].reshape(B, nH, win, nW, win, D)
+                       .transpose(0, 1, 3, 2, 4, 5).reshape(B * nH * nW, win * win, D))
+                d, c = self._window_match(fb0, fb1, win, win)
+                d = (d.reshape(B, nH, nW, win, win, 2)
+                     .transpose(0, 1, 3, 2, 4, 5).reshape(B, hm, wm, 2))
+                c = (c.reshape(B, nH, nW, win, win)
+                     .transpose(0, 1, 3, 2, 4).reshape(B, hm, wm))
+                delta = delta.at[:, :hm, :wm].set(d)
+                conf = conf.at[:, :hm, :wm].set(c)
+            th, tw = hp - (hp // win) * win, wp - (wp // win) * win
+            if tw > 0:
+                for yi in range(hp // win):
+                    run_block(yi * win, wp - tw, win, tw)
+            if th > 0:
+                for xi in range(wp // win):
+                    run_block(hp - th, xi * win, th, win)
+            if th > 0 and tw > 0:
+                run_block(hp - th, wp - tw, th, tw)
+            return delta, conf
+
+        # overlapping windows: conf-weighted accumulation over static origins
+        ys = list(range(0, max(hp - win, 0) + 1, stride))
+        xs = list(range(0, max(wp - win, 0) + 1, stride))
+        if ys[-1] + win < hp:
+            ys.append(hp - win)
+        if xs[-1] + win < wp:
+            xs.append(wp - win)
+        acc_d = jnp.zeros((B, hp, wp, 2))
+        acc_c = jnp.zeros((B, hp, wp))
+        cnt = jnp.zeros((hp, wp))
+        for y0 in ys:
+            for x0 in xs:
+                x = f0[:, y0:y0 + win, x0:x0 + win].reshape(B, win * win, D)
+                y = f1[:, y0:y0 + win, x0:x0 + win].reshape(B, win * win, D)
+                d, c = self._window_match(x, y, win, win)
+                acc_d = acc_d.at[:, y0:y0 + win, x0:x0 + win].add(d * c[..., None])
+                acc_c = acc_c.at[:, y0:y0 + win, x0:x0 + win].add(c)
+                cnt = cnt.at[y0:y0 + win, x0:x0 + win].add(1.0)
+        delta = acc_d / jnp.maximum(acc_c[..., None], 1e-8)
+        conf = jnp.clip(acc_c / jnp.maximum(cnt[None], 1.0), 0.0, 1.0)
+        return delta, conf
+
+    def _compose_flow(self, delta, theta, dx, dy, hp: int, wp: int):
+        """flow(x) = R·(x − c + δ) + c + t − x  (reference :778-806)."""
+        B = delta.shape[0]
+        y, x = jnp.meshgrid(jnp.arange(hp, dtype=jnp.float32),
+                            jnp.arange(wp, dtype=jnp.float32), indexing="ij")
+        coords = jnp.stack([x, y], axis=-1)
+        center = jnp.asarray([(wp - 1) / 2.0, (hp - 1) / 2.0])
+        v = (coords - center)[None] + delta
+        cos_t = jnp.cos(theta)[:, None, None]
+        sin_t = jnp.sin(theta)[:, None, None]
+        qx = cos_t * v[..., 0] - sin_t * v[..., 1]
+        qy = sin_t * v[..., 0] + cos_t * v[..., 1]
+        q = jnp.stack([qx, qy], axis=-1) + center
+        q = q + jnp.stack([dx, dy], axis=-1)[:, None, None, :]
+        return q - coords[None]
+
+    def _flow_and_conf(self, f0, f1, hp, wp):
+        theta, dx, dy = self._global_se2(f0, f1)
+        f1_aligned = _affine_sample(f1, theta, dx, dy)
+        delta, conf = self._local_sinkhorn(f0, f1_aligned, hp, wp)
+        flow_tok = self._compose_flow(delta, theta, dx, dy, hp, wp)
+        return flow_tok, conf
+
+    def _fb_conf(self, flow01_tok, flow10_tok):
+        if self.fb_sigma <= 0.0:
+            B, Hp, Wp, _ = flow01_tok.shape
+            ones = jnp.ones((B, Hp, Wp))
+            return ones, ones
+        f01 = jnp.transpose(flow01_tok, (0, 3, 1, 2)).astype(jnp.float32)
+        f10 = jnp.transpose(flow10_tok, (0, 3, 1, 2)).astype(jnp.float32)
+        err01 = jnp.linalg.norm(f01 + warp(f10, f01), axis=1)
+        err10 = jnp.linalg.norm(f10 + warp(f01, f10), axis=1)
+        conf01 = jnp.clip(jnp.exp(-0.5 * (err01 / self.fb_sigma) ** 2), 0.0, 1.0)
+        conf10 = jnp.clip(jnp.exp(-0.5 * (err10 / self.fb_sigma) ** 2), 0.0, 1.0)
+        return conf01, conf10
+
+    def compute_bidirectional_flow_and_confs(self, f0, f1, hp, wp):
+        flow01, conf01_d = self._flow_and_conf(f0, f1, hp, wp)
+        flow10, conf10_d = self._flow_and_conf(f1, f0, hp, wp)
+        c01_fb, c10_fb = self._fb_conf(flow01, flow10)
+        return flow01, flow10, conf01_d * c01_fb, conf10_d * c10_fb
+
+    # -- the segment driver ----------------------------------------------------
+    def __call__(self, latents: jnp.ndarray, idx: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Interpolate [B,T,C,H,W] at sorted anchors idx [B,K].
+
+        Returns (out [B,T,C,H,W], conf [B,T,H,W]); anchors exact, interior
+        frames warped+blended with confidence shrinkage and LERP fallback.
+        """
+        B, T, C, H, W = latents.shape
+        K = idx.shape[1]
+        flat = latents.reshape(B * T, C, H, W)
+        s_flat = None
+        if self.straightener is not None:
+            s_flat = self.straightener.encode(flat)
+            feats, hp, wp = self.token_features(s_flat, assume_straightened=True)
+        else:
+            feats, hp, wp = self.token_features(flat, assume_straightened=True)
+        feats = feats.reshape(B, T, hp, wp, -1)
+        base = latents
+        if self.warp_space == "s":
+            if s_flat is None:
+                raise ValueError("warp_space='s' requires a straightener")
+            base = s_flat.reshape(B, T, C, H, W)
+
+        # per-segment bidirectional flows (all B·(K−1) pairs at once)
+        f_l = jnp.take_along_axis(feats, idx[:, :-1, None, None, None], axis=1)
+        f_r = jnp.take_along_axis(feats, idx[:, 1:, None, None, None], axis=1)
+        P = B * (K - 1)
+        f_l = f_l.reshape(P, hp, wp, -1)
+        f_r = f_r.reshape(P, hp, wp, -1)
+        flow01_tok, flow10_tok, conf01, conf10 = (
+            self.compute_bidirectional_flow_and_confs(f_l, f_r, hp, wp)
+        )
+        ps = float(self.patch_size)
+        flow01 = resize_bilinear(jnp.transpose(flow01_tok, (0, 3, 1, 2)), (H, W)) * ps
+        flow10 = resize_bilinear(jnp.transpose(flow10_tok, (0, 3, 1, 2)), (H, W)) * ps
+        c01 = jnp.clip(resize_bilinear(conf01[:, None], (H, W)), 0.0, 1.0)
+        c10 = jnp.clip(resize_bilinear(conf10[:, None], (H, W)), 0.0, 1.0)
+
+        # per-frame segment gather
+        t_grid = jnp.arange(T, dtype=idx.dtype)
+        seg = jax.vmap(lambda a: jnp.searchsorted(a, t_grid, side="right"))(idx) - 1
+        seg = jnp.clip(seg, 0, K - 2)
+        left = jnp.take_along_axis(idx, seg, axis=1)
+        right = jnp.take_along_axis(idx, seg + 1, axis=1)
+        alpha = ((t_grid[None] - left) / jnp.maximum(right - left, 1)).astype(jnp.float32)
+        alpha = jnp.clip(alpha, 0.0, 1.0)
+
+        flow01 = flow01.reshape(B, K - 1, 2, H, W)
+        flow10 = flow10.reshape(B, K - 1, 2, H, W)
+        c01 = c01.reshape(B, K - 1, 1, H, W)
+        c10 = c10.reshape(B, K - 1, 1, H, W)
+        z_l = jnp.take_along_axis(base, idx[:, :-1, None, None, None], axis=1)
+        z_r = jnp.take_along_axis(base, idx[:, 1:, None, None, None], axis=1)
+
+        def per_b(fl01, fl10, cc01, cc10, zl, zr, seg_b, alpha_b):
+            # gather per-frame segment data → [T,...]
+            a = alpha_b[:, None, None, None]
+            f01_t = fl01[seg_b] * cc01[seg_b] * a
+            f10_t = fl10[seg_b] * cc10[seg_b] * (1.0 - a)
+            z0w = warp(zl[seg_b], -f01_t)
+            z1w = warp(zr[seg_b], -f10_t)
+            c0w = warp(cc01[seg_b], -f01_t)
+            c1w = warp(cc10[seg_b], -f10_t)
+            w0 = (1.0 - a) * c0w
+            w1 = a * c1w
+            denom = w0 + w1
+            z_mix = (w0 * z0w + w1 * z1w) / jnp.maximum(denom, 1e-6)
+            z_lerp = (1.0 - a) * zl[seg_b] + a * zr[seg_b]
+            z_t = jnp.where(denom > 1e-6, z_mix, z_lerp)
+            conf_t = jnp.minimum(c0w, c1w)[:, 0]
+            return z_t, conf_t
+
+        out, conf = jax.vmap(per_b)(flow01, flow10, c01, c10, z_l, z_r, seg, alpha)
+        if self.warp_space == "s":
+            out = self.straightener.decode(out.reshape(B * T, C, H, W)).reshape(B, T, C, H, W)
+        # anchors exact (in z space), conf 1 there
+        b_ix = jnp.arange(B)[:, None]
+        out = out.at[b_ix, idx].set(
+            jnp.take_along_axis(latents, idx[:, :, None, None, None], axis=1)
+        )
+        conf = conf.at[b_ix, idx].set(1.0)
+        return out, conf

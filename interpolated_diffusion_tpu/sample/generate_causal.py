@@ -1,0 +1,249 @@
+"""Autoregressive chunked generation (causal Stage-2).
+
+Capability parity with reference src/sample/sample_generate_causal.py (§3.4):
+fixed-size window AR sampling — per chunk: right boundary = goal or a
+heuristic step toward it, local Stage-1 keypoint DDIM with left/right
+clamping, segment-lerp, then a single causal Stage-2 delta at s=levels over
+the full prefix [0..end], hard clamp policy, splice, advance.
+
+TPU-native: chunk offsets are static (cur_i = 1 + i·chunk), so the entire
+while-loop unrolls at trace time into ONE jitted program; the causal Stage-2
+always runs on the full padded T sequence (causal attention makes suffix
+garbage invisible to prefix outputs).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval.metrics import compute_metrics_batch
+from ..models.loading import load_interp_model, load_keypoint_model
+from ..ops.clamp import apply_clamp
+from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.keyframes import interpolate_from_indices, sample_fixed_k_indices_batch
+from ..ops.normalize import logit_pos, sigmoid_pos
+from ..ops.schedules import make_schedule
+from ..train.batches import recompute_velocity_channels
+from ..train.common import add_data_args, make_dataset
+from ..utils.checkpoint import read_meta
+
+
+def make_causal_pipeline(
+    kp_model, interp_model, kp_schedule, *,
+    T: int, K_min: int, levels: int, chunk: int, ddim_steps: int,
+    data_dim: int, logit_space: bool, logit_eps: float,
+    clamp_endpoints: bool, clamp_policy: str, clamp_dims: str,
+    recompute_vel: bool, mask_channels: int = 1,
+):
+    """Returns pipeline(kp_params, interp_params, key, cond) -> x_gen [B,T,D]."""
+    times = jnp.asarray(make_timesteps(kp_schedule.n_timesteps, ddim_steps, "linear"))
+
+    def stage1_chunk(kp_params, key, idx, known_mask, known_values, cond, local_T):
+        B, K = idx.shape
+        z = jax.random.normal(key, (B, K, data_dim))
+        z = jnp.where(known_mask, known_values, z)
+        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
+
+        def body(z, pair):
+            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+            eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, local_T)
+            z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), kp_schedule)
+            return jnp.where(known_mask, known_values, z), None
+
+        z, _ = jax.lax.scan(body, z, t_pairs)
+        if logit_space:
+            z = sigmoid_pos(z)
+        return z
+
+    def pipeline(kp_params, interp_params, key, cond):
+        sg = cond["start_goal"]
+        B = sg.shape[0]
+        start, goal = sg[:, :2], sg[:, 2:]
+        x_gen = jnp.zeros((B, T, data_dim))
+        x_gen = x_gen.at[:, 0, :2].set(start)
+        mask_gen = jnp.zeros((B, T), dtype=bool).at[:, 0].set(True)
+
+        cur = 1
+        ci = 0
+        while cur < T:
+            end = min(T - 1, cur + chunk - 1)
+            L = end - cur + 1
+            remaining = T - cur
+            local_T = L + 1
+            key, k_idx, k_s1 = jax.random.split(key, 3)
+
+            left = x_gen[:, cur - 1, :2]
+            if end == T - 1:
+                right = goal
+            else:
+                frac = min(1.0, float(L) / max(1, remaining))
+                right = left + frac * (goal - left)
+
+            K_local = min(K_min, local_T)
+            idx_local, mask_local = sample_fixed_k_indices_batch(
+                k_idx, B, local_T, K_local, ensure_endpoints=True
+            )
+            known_mask = jnp.zeros((B, K_local, data_dim), dtype=bool)
+            known_values = jnp.zeros((B, K_local, data_dim))
+            if clamp_endpoints:
+                is_l = (idx_local == 0)[..., None]
+                is_r = (idx_local == local_T - 1)[..., None]
+                km = jnp.broadcast_to(is_l | is_r, (B, K_local, 2))
+                known_mask = known_mask.at[:, :, :2].set(km)
+                kv = jnp.where(is_l, left[:, None, :], 0.0)
+                kv = jnp.where(is_r, right[:, None, :], kv)
+                known_values = known_values.at[:, :, :2].set(kv)
+            if logit_space:
+                known_values = logit_pos(known_values, eps=logit_eps)
+
+            cond_chunk = dict(cond)
+            cond_chunk["start_goal"] = jnp.concatenate([left, right], axis=1)
+            z_hat = stage1_chunk(
+                kp_params, k_s1, idx_local, known_mask, known_values, cond_chunk, local_T
+            )
+            x_s = interpolate_from_indices(idx_local, z_hat, local_T,
+                                           recompute_velocity=recompute_vel)
+
+            # splice chunk into the running buffer (positions cur-1 .. end)
+            x_full = jax.lax.dynamic_update_slice(
+                x_gen, x_s, (0, cur - 1, 0)
+            )
+            chunk_mask = jnp.zeros((B, T), dtype=bool)
+            chunk_mask = jax.lax.dynamic_update_slice(chunk_mask, mask_local, (0, cur - 1))
+            mask_full = jnp.where(
+                jnp.arange(T)[None, :] < cur - 1, mask_gen, chunk_mask
+            )
+
+            # causal Stage-2 single delta at s = levels over the full buffer.
+            # Adapt mask channels to the checkpoint config (adj ckpts expect
+            # [mask_s, mask_prev] (+conf); in AR mode both are the splice mask).
+            if mask_channels == 1:
+                mask_in = mask_full
+            else:
+                chans = [mask_full.astype(jnp.float32)] * min(2, mask_channels)
+                if mask_channels >= 3:
+                    chans.append(mask_full.astype(jnp.float32))
+                mask_in = jnp.stack(chans[:mask_channels], axis=-1)
+            s_level = jnp.full((B,), levels, dtype=jnp.int32)
+            delta = interp_model.apply(
+                {"params": interp_params}, x_full, s_level, mask_in, cond_chunk
+            )
+            x_hat = x_full + delta
+            if clamp_policy == "all_anchors":
+                x_hat = apply_clamp(x_hat, x_full, mask_full, clamp_dims)
+            elif clamp_policy == "endpoints":
+                cm = jnp.zeros((B, T), dtype=bool).at[:, cur - 1].set(True).at[:, end].set(True)
+                x_hat = apply_clamp(x_hat, x_full, cm, clamp_dims)
+
+            # write back only the new rows cur..end
+            in_chunk = (jnp.arange(T)[None, :] >= cur) & (jnp.arange(T)[None, :] <= end)
+            upd = x_gen.at[..., :2].set(
+                jnp.where(in_chunk[..., None], x_hat[..., :2], x_gen[..., :2])
+            )
+            if data_dim > 2 and recompute_vel:
+                upd = upd.at[..., 2:].set(
+                    jnp.where(in_chunk[..., None], x_hat[..., 2:], upd[..., 2:])
+                )
+            x_gen = upd
+            mask_gen = mask_full
+            cur = end + 1
+            ci += 1
+
+        if recompute_vel and data_dim == 4:
+            x_gen = recompute_velocity_channels(x_gen, T)
+        return x_gen
+
+    return pipeline
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("sample_generate_causal (AR chunked, TPU)")
+    p.add_argument("--kp_ckpt", type=str, required=True)
+    p.add_argument("--interp_ckpt", type=str, required=True)
+    p.add_argument("--use_ema", type=int, default=1)
+    p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--K_min", type=int, default=4)
+    p.add_argument("--ddim_steps", type=int, default=10)
+    p.add_argument("--num_batches", type=int, default=2)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--clamp_policy", type=str, default="endpoints",
+                   choices=["endpoints", "all_anchors", "none"])
+    p.add_argument("--clamp_dims", type=str, default="pos", choices=["pos", "all"])
+    p.add_argument("--sample_seed", type=int, default=1234)
+    p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--out_dir", type=str, default="runs/samples_causal")
+    add_data_args(p)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    kp_model, kp_params, kp_meta = load_keypoint_model(args.kp_ckpt, bool(args.bf16), bool(args.use_ema))
+    interp_model, interp_params, il_meta = load_interp_model(args.interp_ckpt, bool(args.bf16), bool(args.use_ema))
+    if not il_meta.get("causal", 0):
+        print("warning: interp checkpoint is not causal; results follow the bidirectional model")
+    T = int(kp_meta["T"])
+    data_dim = int(kp_meta["data_dim"])
+    pipeline = jax.jit(make_causal_pipeline(
+        kp_model, interp_model, make_schedule(kp_meta["schedule"], int(kp_meta["N_train"])),
+        T=T, K_min=args.K_min, levels=int(il_meta["levels"]), chunk=args.chunk,
+        ddim_steps=args.ddim_steps, data_dim=data_dim,
+        logit_space=bool(kp_meta.get("logit_space", 0)),
+        logit_eps=float(kp_meta.get("logit_eps", 1e-5)),
+        clamp_endpoints=bool(kp_meta.get("clamp_endpoints", 1)),
+        clamp_policy=args.clamp_policy, clamp_dims=args.clamp_dims,
+        recompute_vel=bool(il_meta.get("recompute_vel", 0)) and data_dim == 4,
+        mask_channels=int(il_meta.get("mask_channels", 1)),
+    ))
+
+    args.T = T
+    ds, _ = make_dataset(args)
+    host_rng = np.random.RandomState(args.sample_seed)
+    key = jax.random.PRNGKey(args.sample_seed)
+    os.makedirs(args.out_dir, exist_ok=True)
+    rows = []
+    t_total, n_total = 0.0, 0
+    for bi in range(args.num_batches):
+        batch = ds.get_batch(host_rng.randint(0, len(ds), size=args.batch))
+        cond = {"occ": jnp.asarray(batch["occ"]),
+                "start_goal": jnp.asarray(batch["start_goal"])}
+        key, k_b = jax.random.split(key)
+        t0 = time.time()
+        x_gen = pipeline(kp_params, interp_params, k_b, cond)
+        x_gen.block_until_ready()
+        dt = time.time() - t0
+        if bi > 0:
+            t_total += dt
+            n_total += args.batch
+        m = compute_metrics_batch(cond["occ"], x_gen, cond["start_goal"][:, 2:],
+                                  jnp.asarray(batch["x"]))
+        for b in range(args.batch):
+            rows.append({"batch": bi, "sample": b,
+                         **{k: float(v[b]) for k, v in m.items()}})
+        print(f"batch {bi}: {dt:.3f}s coll={float(m['collision_rate'].mean()):.4f} "
+              f"goal={float(m['goal_dist'].mean()):.4f}")
+
+    with open(os.path.join(args.out_dir, "metrics.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    summary = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]
+               if k not in ("batch", "sample")}
+    if n_total:
+        summary["samples_per_sec"] = n_total / t_total
+    with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print("summary:", json.dumps(summary, indent=2))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

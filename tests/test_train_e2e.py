@@ -63,6 +63,21 @@ def test_train_interp_levels_bootstrap(tmp_run):
     assert os.path.exists(os.path.join(out, "ckpt_2"))
 
 
+def test_generate_causal_pipeline(tmp_run):
+    from interpolated_diffusion_tpu.sample.generate_causal import main
+
+    out = str(tmp_run / "gen_causal")
+    summary = main([
+        "--kp_ckpt", str(tmp_run / "kp" / "ckpt_6"),
+        "--interp_ckpt", str(tmp_run / "il_causal" / "ckpt_2"),
+        "--chunk", "8", "--K_min", "3", "--ddim_steps", "4",
+        "--num_batches", "2", "--batch", "4", "--num_samples", "64",
+        "--maze_h", "9", "--maze_w", "9", "--bf16", "0", "--out_dir", out,
+    ])
+    assert os.path.exists(os.path.join(out, "metrics.csv"))
+    assert "collision_rate" in summary
+
+
 def test_generate_pipeline_and_metrics(tmp_run):
     from interpolated_diffusion_tpu.sample.generate import main
 
