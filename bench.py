@@ -83,14 +83,16 @@ def main():
     )
     pipeline = jax.jit(make_pipeline(kp_model, interp_model, schedule, cfg, DATA_DIM))
 
-    # warmup / compile
+    # warmup / compile. NOTE: a scalar pull (float()) is the completion
+    # barrier — block_until_ready alone does not block through the axon
+    # tunnel, which silently reports dispatch time.
     out = pipeline(kp_params, interp_params, jax.random.PRNGKey(1), idx, cond)
-    jax.block_until_ready(out)
+    float(out[1].sum())
 
     t0 = time.time()
     for i in range(ITERS):
         out = pipeline(kp_params, interp_params, jax.random.PRNGKey(2 + i), idx, cond)
-    jax.block_until_ready(out)
+    float(out[1].sum())  # forces completion of all queued iterations
     dt = time.time() - t0
     sps = B * ITERS / dt
 

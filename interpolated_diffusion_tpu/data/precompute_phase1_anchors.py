@@ -1,0 +1,194 @@
+"""Precompute Phase-1 anchors: DDIM-sample Wan keyframes into tar shards.
+
+Parity with reference scripts/datasets/precompute_phase1_anchors.py (549 LoC):
+loads a Phase-1 (keypoints_wansynth) checkpoint, DDIM-samples the K anchor
+frames per clip (short mode with absolute-time RoPE), and writes
+`{key}.anchors.npy` + `{key}.anchor_idx.npy` shards keyed to the input stream
+— the Phase-2 trainer joins them back via --anchors_root.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.video_denoisers import VideoTokenKeypointDenoiser
+from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.keyframes import sample_fixed_k_indices_uniform_batch
+from ..ops.schedules import make_schedule
+from ..utils.checkpoint import read_meta, load_checkpoint
+from ..utils.video_tokens import patchify_latents, unpatchify_tokens
+from ..models.loading import resolve_ckpt
+from .wan_synth import SyntheticWanDataset, WanSynthTarDataset, write_tar_shard
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("precompute_phase1_anchors (TPU)")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--out_root", type=str, required=True)
+    p.add_argument("--data", type=str, default="synthetic", choices=["synthetic", "tar"])
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--shard_size", type=int, default=64)
+    p.add_argument("--ddim_steps", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    path = resolve_ckpt(args.ckpt)
+    _, meta = read_meta(path)
+    if meta.get("stage") != "keypoints_wansynth":
+        raise ValueError(f"{path} is not a Phase-1 wansynth checkpoint")
+    T, K = int(meta["T"]), int(meta["K"])
+    C, H, W = int(meta["latent_c"]), int(meta["latent_h"]), int(meta["latent_w"])
+    p_sz = int(meta["patch_size"])
+    spatial = (H // p_sz, W // p_sz)
+    N = spatial[0] * spatial[1]
+    D_tok = C * p_sz * p_sz
+    schedule = make_schedule(meta["schedule"], int(meta["N_train"]))
+    times = jnp.asarray(make_timesteps(int(meta["N_train"]), args.ddim_steps, "quadratic"))
+
+    if meta.get("use_wan"):
+        from ..train.wansynth_common import build_wan, merged_wan_params
+        from ..models.wan_dit import FrameCondProjector
+        from ..utils.frame_features import frame_features_from_mask
+
+        class _A:  # namespace for build_wan
+            pass
+
+        a = _A()
+        for k_, v_ in dict(
+            wan_dim=meta["wan_dim"], wan_layers=meta["wan_layers"],
+            wan_heads=meta["wan_heads"], wan_ffn=meta["wan_ffn"],
+            latent_c=C, text_dim=meta["text_dim"], attn_mode=meta["attn_mode"],
+            sla_topk=meta["sla_topk"], sla_block=128, use_remat=0,
+            lora_rank=meta["lora_rank"], lora_alpha=meta["lora_alpha"],
+            frame_cond=meta["frame_cond"], frame_cond_dim=5, T=T,
+        ).items():
+            setattr(a, k_, v_)
+        wan = build_wan(a, bool(args.bf16))
+        L_in = K
+        base = wan.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, C, L_in, H, W)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 8, meta["text_dim"])),
+            jnp.zeros((1, L_in), jnp.int32),
+            jnp.zeros((1, L_in, meta["text_dim"])) if meta["frame_cond"] else None,
+        )["params"]
+        from ..train.wansynth_common import init_wan_trainables
+
+        trainable0, fc_module, base_params = init_wan_trainables(
+            jax.random.PRNGKey(0), a, base, bool(args.bf16))
+        _, payload = load_checkpoint(path, trainable0)
+        trainable = payload["params"]
+
+        def eps_fn(z_t_tokens, t, idx, text):
+            extra = None
+            if meta["frame_cond"]:
+                B = z_t_tokens.shape[0]
+                mask = jnp.zeros((B, T), dtype=bool).at[
+                    jnp.arange(B)[:, None], idx].set(True)
+                feat = jnp.take_along_axis(
+                    frame_features_from_mask(mask), idx[..., None], axis=1)
+                extra = fc_module.apply({"params": trainable["frame_cond"]}, feat)
+            wparams = merged_wan_params(trainable, base_params, a)
+            lat_in = jnp.transpose(unpatchify_tokens(z_t_tokens, p_sz, spatial),
+                                   (0, 2, 1, 3, 4))
+            pred = wan.apply({"params": wparams}, lat_in, t, text, idx, extra)
+            out, _ = patchify_latents(jnp.transpose(pred, (0, 2, 1, 3, 4)), p_sz)
+            return out
+    else:
+        tok_model = VideoTokenKeypointDenoiser(
+            d_model=meta["d_model"], n_layers=meta["n_layers"],
+            n_heads=meta["n_heads"], d_ff=meta["d_ff"], data_dim=D_tok,
+            use_start_goal=False,
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+        tmpl = tok_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, K, N, D_tok)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, K), jnp.int32),
+            {"text_embed": jnp.zeros((1, 8, meta["text_dim"]))}, T, spatial,
+        )["params"]
+        _, payload = load_checkpoint(path, tmpl)
+        params = payload.get("ema") or payload["params"]
+
+        def eps_fn(z_t_tokens, t, idx, text):
+            return tok_model.apply({"params": params}, z_t_tokens, t, idx,
+                                   {"text_embed": text}, T, spatial)
+
+    @jax.jit
+    def sample_anchors(key, idx, text):
+        B = idx.shape[0]
+        z = jax.random.normal(key, (B, K, N, D_tok))
+        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
+
+        def body(z, pair):
+            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+            eps = eps_fn(z.astype(jnp.float32), t_b, idx, text)
+            z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), schedule)
+            return z, None
+
+        z, _ = jax.lax.scan(body, z, t_pairs)
+        return unpatchify_tokens(z, p_sz, spatial)   # [B,K,C,H,W]
+
+    if args.data == "tar":
+        stream = iter(WanSynthTarDataset(args.data_root, T=T, shuffle_shards=False,
+                                         shuffle_buffer=1, process_split=False))
+        def batches():
+            items = []
+            for s in stream:
+                items.append(s)
+                if len(items) == args.batch:
+                    yield items
+                    items = []
+            if items:
+                yield items
+    else:
+        ds = SyntheticWanDataset(n_samples=args.num_samples, T=T, C=C, H=H, W=W,
+                                 text_dim=int(meta["text_dim"]), seed=args.seed)
+        def batches():
+            for lo in range(0, args.num_samples, args.batch):
+                idxs = range(lo, min(args.num_samples, lo + args.batch))
+                yield [{"__key__": f"{i:08d}", **ds.get(i)} for i in idxs]
+
+    key = jax.random.PRNGKey(args.seed)
+    out_samples, shard_id, done = [], 0, 0
+    os.makedirs(args.out_root, exist_ok=True)
+    for items in batches():
+        B = len(items)
+        key, k_idx, k_s = jax.random.split(key, 3)
+        idx, _ = sample_fixed_k_indices_uniform_batch(
+            k_idx, B, T, K, ensure_endpoints=False, jitter=0.5)
+        text = jnp.stack([jnp.asarray(it["text_embed"]) for it in items])
+        anchors = np.asarray(sample_anchors(k_s, idx, text))
+        idx_np = np.asarray(idx)
+        for b, it in enumerate(items):
+            out_samples.append({
+                "__key__": it["__key__"],
+                "anchors": anchors[b].astype(np.float32),
+                "anchor_idx": idx_np[b].astype(np.int32),
+            })
+        done += B
+        if len(out_samples) >= args.shard_size:
+            write_tar_shard(
+                os.path.join(args.out_root, f"anchors_{shard_id:05d}.tar"),
+                out_samples)
+            out_samples, shard_id = [], shard_id + 1
+        print(f"anchored {done} samples")
+    if out_samples:
+        write_tar_shard(
+            os.path.join(args.out_root, f"anchors_{shard_id:05d}.tar"), out_samples)
+    with open(os.path.join(args.out_root, "prep_config.json"), "w") as f:
+        json.dump({"args": vars(args), "meta": meta}, f, indent=2, default=str)
+    print(f"wrote {shard_id + 1} shards to {args.out_root}")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,7 +44,7 @@ def _pad_len(L: int, block: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
-    lut_ref,      # SMEM [BH, M_BLOCKS, topk]
+    lut_ref,      # SMEM [BH, M_BLOCKS*topk] (flat: lane-padding-free)
     q_ref,        # VMEM (1, BM, D)
     k_ref,        # VMEM (1, BN, D)  — LUT-gathered
     v_ref,        # VMEM (1, BN, D)
@@ -74,7 +74,7 @@ def _fwd_kernel(
     ) * (scale * _LOG2E)
 
     bh, m = pl.program_id(0), pl.program_id(1)
-    n_block = lut_ref[bh, m, j]
+    n_block = lut_ref[bh, m * topk + j]
     key_pos = n_block * block_n + jax.lax.broadcasted_iota(
         jnp.int32, qk.shape, dimension=1
     )
@@ -124,8 +124,8 @@ def _fwd_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_m, D), lambda bh, m, j, lut: (bh, m, 0)),
-                pl.BlockSpec((1, block_n, D), lambda bh, m, j, lut: (bh, lut[bh, m, j], 0)),
-                pl.BlockSpec((1, block_n, D), lambda bh, m, j, lut: (bh, lut[bh, m, j], 0)),
+                pl.BlockSpec((1, block_n, D), lambda bh, m, j, lut: (bh, lut[bh, m * topk + j], 0)),
+                pl.BlockSpec((1, block_n, D), lambda bh, m, j, lut: (bh, lut[bh, m * topk + j], 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_m, D), lambda bh, m, j, lut: (bh, m, 0)),
@@ -145,13 +145,275 @@ def _fwd_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lut, qp, kp, vp)
+    )(lut.reshape(BH, m_blocks * topk), qp, kp, vp)
     return o[:, :L], lse.reshape(BH, Lq)[:, :L]
 
 
 def _fwd_pallas_interpret(q, k, v, lut, block_m, block_n, scale):
     """Interpreter-mode forward (CPU test path for the Pallas kernel)."""
     return _fwd_pallas(q, k, v, lut, block_m, block_n, scale, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# dense (full-attention / flash) kernel variants — no LUT, so no SMEM limits
+# at long sequence lengths; n_block is simply the sequential grid index.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_dense(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, n_blocks: int, L: int, block_n: int,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    qk = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (scale * _LOG2E)
+    m = pl.program_id(1)
+    key_pos = j * block_n + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+    qk = jnp.where(key_pos < L, qk, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    local_m = jnp.max(qk, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, local_m)
+    p = jnp.exp2(qk - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == n_blocks - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[...] / l).astype(o_ref.dtype)
+        lse_ref[0, m] = m_scr[:, 0] + jnp.log2(l[:, 0])
+
+
+def _dq_kernel_dense(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, scale: float, n_blocks: int, L: int, block_n: int,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    qk = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    m = pl.program_id(1)
+    key_pos = j * block_n + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+    qk = jnp.where(key_pos < L, qk, _NEG_INF)
+    p = jnp.exp2(qk - lse_ref[0, m][:, None])
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta_ref[0, m][:, None]) * scale
+    dq_scr[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == n_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _dkdv_kernel_dense(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale: float, m_blocks: int, L: int, block_n: int,
+):
+    m = pl.program_id(2)
+
+    @pl.when(m == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    n = pl.program_id(1)
+    k = k_ref[0]
+    q = q_ref[0]
+    qk_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    key_pos = n * block_n + jax.lax.broadcasted_iota(jnp.int32, qk_t.shape, 0)
+    qk_t = jnp.where(key_pos < L, qk_t, _NEG_INF)
+    p_t = jnp.exp2(qk_t - lse_ref[0, m][None, :])
+    dv_scr[...] += jax.lax.dot_general(
+        p_t.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_t = jax.lax.dot_general(
+        v_ref[0], do_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds_t = p_t * (dp_t - delta_ref[0, m][None, :]) * scale
+    dk_scr[...] += jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(m == m_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _fwd_pallas_dense(q, k, v, block_m, block_n, scale, interpret=False):
+    BH, L, D = q.shape
+    m_blocks = _pad_len(L, block_m) // block_m
+    n_blocks = _pad_len(L, block_n) // block_n
+    Lq, Lk = m_blocks * block_m, n_blocks * block_n
+    qp = jnp.pad(q, ((0, 0), (0, Lq - L), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Lk - L), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Lk - L), (0, 0)))
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_dense, scale=scale, n_blocks=n_blocks,
+                          L=L, block_n=block_n),
+        grid=(BH, m_blocks, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_m, D), lambda bh, m, j: (bh, m, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, m, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, m, j: (bh, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_m, D), lambda bh, m, j: (bh, m, 0)),
+            pl.BlockSpec((1, m_blocks, block_m), lambda bh, m, j: (bh, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, _LANES), jnp.float32),
+            pltpu.VMEM((block_m, _LANES), jnp.float32),
+            pltpu.VMEM((block_m, D), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lq, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, m_blocks, block_m), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return o[:, :L], lse.reshape(BH, Lq)[:, :L]
+
+
+def _bwd_pallas_dense(q, k, v, o, lse, do, block_m, block_n, scale,
+                      interpret=False):
+    BH, L, D = q.shape
+    m_blocks = _pad_len(L, block_m) // block_m
+    n_blocks = _pad_len(L, block_n) // block_n
+    Lq, Lk = m_blocks * block_m, n_blocks * block_n
+    qp = jnp.pad(q, ((0, 0), (0, Lq - L), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Lk - L), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Lk - L), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, Lq - L), (0, 0)))
+    delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    deltap = jnp.pad(delta, ((0, 0), (0, Lq - L))).reshape(BH, m_blocks, block_m)
+    lsep = jnp.pad(lse, ((0, 0), (0, Lq - L)), constant_values=1.0)
+    lsep = lsep.reshape(BH, m_blocks, block_m)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel_dense, scale=scale, n_blocks=n_blocks,
+                          L=L, block_n=block_n),
+        grid=(BH, m_blocks, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_m, D), lambda bh, m, j: (bh, m, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, m, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, m, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_m, D), lambda bh, m, j: (bh, m, 0)),
+            pl.BlockSpec((1, m_blocks, block_m), lambda bh, m, j: (bh, 0, 0)),
+            pl.BlockSpec((1, m_blocks, block_m), lambda bh, m, j: (bh, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, block_m, D), lambda bh, m, j: (bh, m, 0))],
+        scratch_shapes=[pltpu.VMEM((block_m, D), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((BH, Lq, D), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)[0]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel_dense, scale=scale, m_blocks=m_blocks,
+                          L=L, block_n=block_n),
+        grid=(BH, n_blocks, m_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_m, D), lambda bh, n, m: (bh, m, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
+            pl.BlockSpec((1, block_m, D), lambda bh, n, m: (bh, m, 0)),
+            pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m: (bh, 0, 0)),
+            pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, D), jnp.float32),
+            pltpu.VMEM((block_n, D), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Lk, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, Lk, D), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+    return dq[:, :L], dk[:, :L], dv[:, :L]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    block_m: int = 512, block_n: int = 1024,
+    scale: Optional[float] = None, interpret: bool = False,
+) -> jnp.ndarray:
+    """Full (exact) attention via the dense Pallas kernels — O(L) memory.
+
+    Used for long-sequence self-attention where XLA dense attention would
+    materialize the [H, L, L] logits (e.g. Wan-scale L≈33k → 51 GB).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    o, _ = _fwd_pallas_dense(q, k, v, block_m, block_n, scale, interpret)
+    return o
+
+
+def _flash_fwd(q, k, v, block_m, block_n, scale, interpret):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    o, lse = _fwd_pallas_dense(q, k, v, block_m, block_n, scale, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd(block_m, block_n, scale, interpret, res, do):
+    q, k, v, o, lse = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    dq, dk, dv = _bwd_pallas_dense(q, k, v, o, lse, do, block_m, block_n,
+                                   scale, interpret)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -174,7 +436,7 @@ def _dq_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * (scale * _LOG2E)
     bh, m = pl.program_id(0), pl.program_id(1)
-    n_block = lut_ref[bh, m, j]
+    n_block = lut_ref[bh, m * topk + j]
     key_pos = n_block * block_n + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
     qk = jnp.where(key_pos < L, qk, _NEG_INF)
     p = jnp.exp2(qk - lse_ref[0, m][:, None])         # [BM, BN]
@@ -194,7 +456,7 @@ def _dq_kernel(
 
 
 def _dkdv_kernel(
-    mapt_ref,   # SMEM [BH, N_BLOCKS, M_BLOCKS] int32 bitmap (transposed map)
+    mapt_ref,   # VMEM (1, N_BLOCKS, M_BLOCKS) int32 bitmap (per-bh full map)
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, scale: float, m_blocks: int, L: int, block_n: int,
@@ -206,9 +468,9 @@ def _dkdv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    bh, n = pl.program_id(0), pl.program_id(1)
+    n = pl.program_id(1)
 
-    @pl.when(mapt_ref[bh, n, m] > 0)
+    @pl.when(mapt_ref[0, n, m] > 0)
     def _compute():
         k = k_ref[0]
         q = q_ref[0]
@@ -263,8 +525,8 @@ def _bwd_pallas(
             grid=(BH, m_blocks, topk),
             in_specs=[
                 pl.BlockSpec((1, block_m, D), lambda bh, m, j, lut: (bh, m, 0)),
-                pl.BlockSpec((1, block_n, D), lambda bh, m, j, lut: (bh, lut[bh, m, j], 0)),
-                pl.BlockSpec((1, block_n, D), lambda bh, m, j, lut: (bh, lut[bh, m, j], 0)),
+                pl.BlockSpec((1, block_n, D), lambda bh, m, j, lut: (bh, lut[bh, m * topk + j], 0)),
+                pl.BlockSpec((1, block_n, D), lambda bh, m, j, lut: (bh, lut[bh, m * topk + j], 0)),
                 pl.BlockSpec((1, block_m, D), lambda bh, m, j, lut: (bh, m, 0)),
                 pl.BlockSpec((1, m_blocks, block_m), lambda bh, m, j, lut: (bh, 0, 0)),
                 pl.BlockSpec((1, m_blocks, block_m), lambda bh, m, j, lut: (bh, 0, 0)),
@@ -278,7 +540,7 @@ def _bwd_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(lut, qp, kp, vp, dop, lsep, deltap)[0]
+    )(lut.reshape(BH, m_blocks * topk), qp, kp, vp, dop, lsep, deltap)[0]
 
     # transposed bitmap: mapt[bh, n, m] = 1 iff key block n in LUT row m
     onehot = jax.nn.one_hot(lut, n_blocks, dtype=jnp.int32).sum(axis=2)  # [BH, M, N]
@@ -288,26 +550,24 @@ def _bwd_pallas(
         functools.partial(
             _dkdv_kernel, scale=scale, m_blocks=m_blocks, L=L, block_n=block_n
         ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(BH, n_blocks, m_blocks),
-            in_specs=[
-                pl.BlockSpec((1, block_m, D), lambda bh, n, m, mp: (bh, m, 0)),
-                pl.BlockSpec((1, block_n, D), lambda bh, n, m, mp: (bh, n, 0)),
-                pl.BlockSpec((1, block_n, D), lambda bh, n, m, mp: (bh, n, 0)),
-                pl.BlockSpec((1, block_m, D), lambda bh, n, m, mp: (bh, m, 0)),
-                pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m, mp: (bh, 0, 0)),
-                pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m, mp: (bh, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, block_n, D), lambda bh, n, m, mp: (bh, n, 0)),
-                pl.BlockSpec((1, block_n, D), lambda bh, n, m, mp: (bh, n, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((block_n, D), jnp.float32),
-                pltpu.VMEM((block_n, D), jnp.float32),
-            ],
-        ),
+        grid=(BH, n_blocks, m_blocks),
+        in_specs=[
+            pl.BlockSpec((1, n_blocks, m_blocks), lambda bh, n, m: (bh, 0, 0)),
+            pl.BlockSpec((1, block_m, D), lambda bh, n, m: (bh, m, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
+            pl.BlockSpec((1, block_m, D), lambda bh, n, m: (bh, m, 0)),
+            pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m: (bh, 0, 0)),
+            pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
+            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, D), jnp.float32),
+            pltpu.VMEM((block_n, D), jnp.float32),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lk, D), k.dtype),
             jax.ShapeDtypeStruct((BH, Lk, D), v.dtype),

@@ -38,8 +38,8 @@ def get_block_map(
     q: jnp.ndarray,          # [BH, L, D]
     k: jnp.ndarray,
     topk_ratio: float,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 256,
+    block_k: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
     """Returns (sparse_map [BH, M, N] int8, lut [BH, M, topk] int32, topk)."""
     arg_k = k - k.mean(axis=-2, keepdims=True)  # smooth-k (SageAttention)
@@ -80,8 +80,8 @@ class SparseLinearAttention(nn.Module):
     head_dim: int
     topk: float = 0.1
     feature_map: str = "softmax"
-    block_q: int = 128
-    block_k: int = 128
+    block_q: int = 256
+    block_k: int = 256
     impl: str = "pallas"
     bwd_impl: str = "pallas"
 

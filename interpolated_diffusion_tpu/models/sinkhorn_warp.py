@@ -106,19 +106,24 @@ class SinkhornWarpInterpolator(nn.Module):
     warp_space: str = "z"               # z | s
     dtype: Dtype = jnp.float32
 
-    def _tau(self):
+    def setup(self):
         if self.learn_tau:
             init = max(self.sinkhorn_tau - self.tau_min, 1e-6)
             raw0 = math.log(math.expm1(init))
-            raw = self.param("tau_raw", lambda k: jnp.asarray(raw0, jnp.float32))
-            return jax.nn.softplus(raw) + self.tau_min
+            self.tau_raw = self.param("tau_raw", lambda k: jnp.asarray(raw0, jnp.float32))
+        if self.learn_dustbin:
+            self.dustbin_param = self.param(
+                "dustbin", lambda k: jnp.asarray(self.dustbin_logit, jnp.float32)
+            )
+
+    def _tau(self):
+        if self.learn_tau:
+            return jax.nn.softplus(self.tau_raw) + self.tau_min
         return jnp.asarray(self.sinkhorn_tau, jnp.float32)
 
     def _dustbin(self):
         if self.learn_dustbin:
-            return self.param(
-                "dustbin", lambda k: jnp.asarray(self.dustbin_logit, jnp.float32)
-            )
+            return self.dustbin_param
         return jnp.asarray(self.dustbin_logit, jnp.float32)
 
     # -- token features ------------------------------------------------------

@@ -41,6 +41,23 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_mesh_for_batch(
+    batch_size: int,
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+) -> Mesh:
+    """Mesh whose data axis divides the batch (small debug batches shrink DP
+    width instead of erroring)."""
+    import math
+
+    devices = jax.devices()
+    if n_data is None:
+        n_data = max(1, len(devices) // n_model)
+        n_data = math.gcd(n_data, batch_size) or 1
+    return make_mesh(n_data=n_data, n_model=n_model,
+                     devices=devices[: n_data * n_model])
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding: leading axis split over the data axis."""
     return NamedSharding(mesh, P("data"))

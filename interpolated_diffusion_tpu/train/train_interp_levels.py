@@ -28,7 +28,7 @@ from ..ops.ddpm import ddim_step, make_timesteps
 from ..ops.keyframes import build_nested_masks_from_base, build_nested_masks_batch
 from ..ops.normalize import logit_pos, sigmoid_pos
 from ..ops.schedules import make_schedule
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, read_meta, save_checkpoint
 from .batches import (
     build_interp_adjacent_batch,
@@ -450,7 +450,7 @@ def main(argv=None):
     if args.bootstrap_ckpt:
         bootstrap_sample, _ = make_bootstrap_sampler(args, data_dim)
 
-    mesh = make_mesh(n_data=args.n_data_shards)
+    mesh = make_mesh_for_batch(args.batch, n_data=args.n_data_shards)
     rng = jax.random.PRNGKey(args.seed)
     rng, k_init = jax.random.split(rng)
     sample_batch = next(loader)

@@ -22,7 +22,7 @@ from ..ops.video_keyframes import (
     build_video_interp_adjacent_batch,
     build_video_interp_level_batch,
 )
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .state import init_train_state, make_optimizer, make_train_step
 
@@ -129,7 +129,7 @@ def main(argv=None):
             w = jnp.where(weight > 0.5, args.w_anchor, args.w_missing)
         return (diff * w).sum() / (w.sum() * z0.shape[-1] + 1e-8), {}
 
-    mesh = make_mesh(n_data=args.n_data_shards)
+    mesh = make_mesh_for_batch(args.batch, n_data=args.n_data_shards)
     batch0 = next(loader)
     mc = mask_channels_for(args)
     params = model.init(

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..models.selector import KeypointSelector
 from ..ops.keyframes import compute_k_schedule
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .common import add_data_args, add_train_args, make_dataset, make_loader
 from .state import init_train_state, make_optimizer, make_train_step
@@ -137,7 +137,7 @@ def main(argv=None):
             aux["kl"] = kl
         return loss, aux
 
-    mesh = make_mesh(n_data=args.n_data_shards)
+    mesh = make_mesh_for_batch(args.batch, n_data=args.n_data_shards)
     init_cond = {"occ": jnp.asarray(batch0["occ"][:2]),
                  "start_goal": jnp.asarray(batch0["start_goal"][:2])}
     if args.use_level:

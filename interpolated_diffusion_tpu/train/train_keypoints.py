@@ -26,7 +26,7 @@ from ..models.denoisers import KeypointDenoiser
 from ..ops.ddpm import q_sample
 from ..ops.schedules import make_schedule
 from ..ops.selection import build_kp_feat_batch
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .batches import build_known_mask_values, gather_keypoints
 from .common import add_data_args, add_train_args, make_dataset, make_loader, sample_idx_policy
@@ -153,7 +153,7 @@ def main(argv=None):
     schedule = make_schedule(args.schedule, args.N_train)
     model = build_model(args, data_dim)
 
-    mesh = make_mesh(n_data=args.n_data_shards)
+    mesh = make_mesh_for_batch(args.batch, n_data=args.n_data_shards)
     rng = jax.random.PRNGKey(args.seed)
     rng, k_init = jax.random.split(rng)
 

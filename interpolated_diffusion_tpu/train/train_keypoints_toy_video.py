@@ -22,7 +22,7 @@ from ..models.denoisers import KeypointDenoiser
 from ..ops.ddpm import q_sample
 from ..ops.keyframes import sample_fixed_k_indices_uniform_batch
 from ..ops.schedules import make_schedule
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .batches import gather_keypoints
 from .state import init_train_state, make_optimizer, make_train_step
@@ -95,7 +95,7 @@ def main(argv=None):
         valid = (~known_mask).astype(jnp.float32)
         return ((eps_hat - eps) ** 2 * valid).sum() / (valid.sum() + 1e-8), {}
 
-    mesh = make_mesh(n_data=args.n_data_shards)
+    mesh = make_mesh_for_batch(args.batch, n_data=args.n_data_shards)
     batch0 = next(loader)
     params = model.init(
         jax.random.PRNGKey(args.seed),

@@ -24,7 +24,7 @@ from ..ops.selection import (
     compute_segment_costs_batch,
     sample_timesteps_log_snr,
 )
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .common import add_data_args, add_train_args, make_dataset, make_loader
 from .state import init_train_state, make_optimizer, make_train_step
@@ -94,7 +94,7 @@ def main(argv=None):
         pred = model.apply({"params": params}, cond, seg_feat)
         return jnp.mean((pred - target) ** 2), {}
 
-    mesh = make_mesh(n_data=args.n_data_shards)
+    mesh = make_mesh_for_batch(args.batch, n_data=args.n_data_shards)
     batch0 = next(loader)
     params = model.init(
         jax.random.PRNGKey(args.seed),

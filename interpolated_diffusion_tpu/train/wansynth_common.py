@@ -1,0 +1,127 @@
+"""Shared wansynth trainer plumbing: datasets, Wan/LoRA state, helpers."""
+from __future__ import annotations
+
+import argparse
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import BatchLoader
+from ..data.wan_synth import SyntheticWanDataset, WanSynthTarDataset
+from ..models.lora import apply_lora, init_lora
+from ..models.wan_dit import FrameCondProjector, WanDiT
+
+
+def add_wansynth_data_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data", type=str, default="synthetic", choices=["synthetic", "tar"])
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--anchors_root", type=str, default=None)
+    p.add_argument("--num_samples", type=int, default=1000)
+    p.add_argument("--T", type=int, default=21)
+    p.add_argument("--latent_c", type=int, default=16)
+    p.add_argument("--latent_h", type=int, default=60)
+    p.add_argument("--latent_w", type=int, default=104)
+    p.add_argument("--text_len", type=int, default=512)
+    p.add_argument("--text_dim", type=int, default=4096)
+
+
+def add_wan_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--use_wan", type=int, default=1)
+    p.add_argument("--wan_dim", type=int, default=1536)
+    p.add_argument("--wan_layers", type=int, default=30)
+    p.add_argument("--wan_heads", type=int, default=12)
+    p.add_argument("--wan_ffn", type=int, default=8960)
+    p.add_argument("--attn_mode", type=str, default="sla", choices=["dense", "sla"])
+    p.add_argument("--sla_topk", type=float, default=0.1)
+    p.add_argument("--sla_block", type=int, default=256)
+    p.add_argument("--lora_rank", type=int, default=8)
+    p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--use_remat", type=int, default=1)
+    p.add_argument("--frame_cond", type=int, default=1)
+    p.add_argument("--frame_cond_dim", type=int, default=5)
+    p.add_argument("--patch_size", type=int, default=2)
+
+
+def make_wansynth_loader(args, seed: int):
+    if args.data == "tar":
+        if not args.data_root:
+            raise ValueError("--data_root required for --data tar")
+        ds = WanSynthTarDataset(args.data_root, T=args.T, seed=seed,
+                                anchors_root=args.anchors_root)
+        return ds.batches(args.batch)
+    ds = SyntheticWanDataset(
+        n_samples=args.num_samples, T=args.T, C=args.latent_c,
+        H=args.latent_h, W=args.latent_w, text_len=args.text_len,
+        text_dim=args.text_dim, seed=seed,
+    )
+    return iter(BatchLoader(ds, batch_size=args.batch, seed=seed))
+
+
+def build_wan(args, bf16: bool = True) -> WanDiT:
+    return WanDiT(
+        dim=args.wan_dim, n_layers=args.wan_layers, n_heads=args.wan_heads,
+        ffn_dim=args.wan_ffn, in_channels=args.latent_c,
+        out_channels=args.latent_c, text_dim=args.text_dim,
+        attn_mode=args.attn_mode, sla_topk=args.sla_topk,
+        sla_block=args.sla_block, use_remat=bool(args.use_remat),
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
+
+
+def init_wan_trainables(
+    key: jax.Array, args, wan_params, bf16: bool = True
+) -> Tuple[Dict, Optional[FrameCondProjector], Dict]:
+    """Returns (trainable tree, frame_cond module, static base params).
+
+    With lora_rank > 0 the Wan weights freeze and only {lora, frame_cond}
+    train (reference mark_only_lora_trainable semantics).
+    """
+    k_lora, k_fc = jax.random.split(key)
+    trainable: Dict = {}
+    fc_module = None
+    if args.frame_cond:
+        fc_module = FrameCondProjector(
+            feat_dim=args.frame_cond_dim, text_dim=args.text_dim,
+            dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        )
+        trainable["frame_cond"] = fc_module.init(
+            k_fc, jnp.zeros((1, args.T, args.frame_cond_dim))
+        )["params"]
+    if args.lora_rank > 0:
+        trainable["lora"] = init_lora(
+            k_lora, wan_params, args.lora_rank, args.lora_alpha,
+            filter_regex=r"(q_proj|k_proj|v_proj|o_proj|ffn_in|ffn_out)",
+        )
+        base = wan_params
+    else:
+        trainable["wan"] = wan_params
+        base = None
+    return trainable, fc_module, base
+
+
+def merged_wan_params(trainable: Dict, base, args):
+    if args.lora_rank > 0:
+        return apply_lora(base, trainable["lora"], args.lora_rank, args.lora_alpha)
+    return trainable["wan"]
+
+
+def midpoint_indices(idx: jnp.ndarray) -> jnp.ndarray:
+    return (idx[:, :-1] + idx[:, 1:]) // 2
+
+
+def meanpool_between_anchors(tokens: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Mean of strictly-interior frames per segment ([B,K-1,N,D]); midpoint
+    frame when the gap has no interior."""
+    B, T, N, D = tokens.shape
+    csum = jnp.cumsum(tokens, axis=1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[:, :1]), csum], axis=1)  # [B,T+1,...]
+    i = idx[:, :-1]
+    j = idx[:, 1:]
+    upper = jnp.take_along_axis(csum, j[..., None, None], axis=1)        # sum up to j-1
+    lower = jnp.take_along_axis(csum, (i + 1)[..., None, None], axis=1)  # sum up to i
+    interior = (j - i - 1)[..., None, None].astype(tokens.dtype)
+    mean = (upper - lower) / jnp.maximum(interior, 1.0)
+    mid = jnp.take_along_axis(tokens, midpoint_indices(idx)[..., None, None], axis=1)
+    return jnp.where(interior > 0, mean, mid)

@@ -1,0 +1,211 @@
+"""Wan-stack tests: DiT forward (rope/abs-time/frame-cond), LoRA, data
+pipeline (tar shards, key-joins), all wansynth trainers e2e tiny, and the
+anchor precompute→Phase-2 join round trip."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+TINY_WAN = ["--num_samples", "12", "--T", "9", "--latent_c", "4",
+            "--latent_h", "8", "--latent_w", "8", "--text_len", "8",
+            "--text_dim", "64", "--wan_dim", "64", "--wan_layers", "2",
+            "--wan_heads", "2", "--wan_ffn", "128", "--attn_mode", "dense",
+            "--use_remat", "0", "--batch", "2", "--steps", "2",
+            "--save_every", "2", "--log_every", "1", "--bf16", "0"]
+
+
+def test_wan_dit_forward_and_abs_time_rope():
+    from interpolated_diffusion_tpu.models.wan_dit import WanDiT
+
+    model = WanDiT(dim=64, n_layers=2, n_heads=2, ffn_dim=128, in_channels=4,
+                   out_channels=4, text_dim=32, attn_mode="dense", use_remat=False)
+    B, C, T, H, W = 2, 4, 5, 8, 8
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, C, T, H, W))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 6, 32))
+    params = model.init(jax.random.PRNGKey(2), lat, t, ctx)["params"]
+    out = model.apply({"params": params}, lat, t, ctx)
+    assert out.shape == (B, C, T, H, W)
+    # absolute-time rope changes the output for the same content
+    fi = jnp.broadcast_to(jnp.array([0, 5, 10, 15, 20], jnp.int32), (B, T))
+    out_abs = model.apply({"params": params}, lat, t, ctx, fi)
+    assert float(jnp.abs(out_abs - out).max()) > 1e-4
+    # identity frame indices reproduce the default rope exactly
+    fi0 = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    out_id = model.apply({"params": params}, lat, t, ctx, fi0)
+    np.testing.assert_allclose(np.asarray(out_id), np.asarray(out), atol=1e-5)
+
+
+def test_wan_rope_tables_split():
+    from interpolated_diffusion_tpu.models.wan_dit import wan_rope_tables
+
+    tables, dims = wan_rope_tables(64, 128)
+    t_dim, h_dim, w_dim = dims
+    assert t_dim + h_dim + w_dim == 128
+    assert h_dim == w_dim == 2 * (128 // 6)
+
+
+def test_lora_zero_init_and_merge():
+    from interpolated_diffusion_tpu.models.lora import apply_lora, init_lora
+
+    params = {"block_0": {"q_proj": {"kernel": jnp.ones((8, 8)),
+                                     "bias": jnp.zeros((8,))},
+                          "norm": {"scale": jnp.ones((8,))}}}
+    lora = init_lora(jax.random.PRNGKey(0), params, rank=2)
+    assert "block_0/q_proj" in lora
+    merged = apply_lora(params, lora, rank=2)
+    # B is zero-init -> merged == base
+    np.testing.assert_allclose(np.asarray(merged["block_0"]["q_proj"]["kernel"]), 1.0)
+    lora["block_0/q_proj"]["B"] = jnp.ones((2, 8))
+    merged = apply_lora(params, lora, rank=2, alpha=2.0)
+    assert float(jnp.abs(merged["block_0"]["q_proj"]["kernel"] - 1.0).max()) > 0
+
+
+def test_tar_shard_roundtrip_and_key_join(tmp_path):
+    from interpolated_diffusion_tpu.data.wan_synth import (
+        KeyJoinError, WanSynthTarDataset, iter_tar_samples, key_join,
+        write_tar_shard,
+    )
+
+    samples = [{"__key__": f"{i:04d}",
+                "latents": np.random.randn(5, 2, 4, 4).astype(np.float32),
+                "text_embed": np.random.randn(3, 8).astype(np.float32)}
+               for i in range(6)]
+    shard = str(tmp_path / "data" / "shard_0.tar")
+    write_tar_shard(shard, samples)
+    loaded = list(iter_tar_samples(shard))
+    assert len(loaded) == 6
+    np.testing.assert_allclose(loaded[0]["latents"], samples[0]["latents"])
+
+    anchors = [{"__key__": s["__key__"],
+                "anchors": np.zeros((2, 2, 4, 4), np.float32),
+                "anchor_idx": np.array([0, 4], np.int32)} for s in samples]
+    a_shard = str(tmp_path / "anchors" / "shard_0.tar")
+    write_tar_shard(a_shard, anchors)
+    joined = list(key_join(iter_tar_samples(shard), iter_tar_samples(a_shard),
+                           fields=("anchors", "anchor_idx")))
+    assert all("anchors" in j for j in joined)
+
+    ds = WanSynthTarDataset(str(tmp_path / "data"), T=5, process_split=False,
+                            anchors_root=str(tmp_path / "anchors"),
+                            shuffle_buffer=1)
+    batch = next(ds.batches(2))
+    assert batch["latents"].shape == (2, 5, 2, 4, 4)
+    assert batch["anchor_idx"].shape == (2, 2)
+
+    # ordering guard: disjoint key sets must raise
+    bad = [{"__key__": "zzzz", "anchors": np.zeros((1,), np.float32)}]
+    b_shard = str(tmp_path / "bad.tar")
+    write_tar_shard(b_shard, bad)
+    with pytest.raises(KeyJoinError):
+        list(key_join(iter_tar_samples(shard), iter_tar_samples(b_shard),
+                      fields=("anchors",), max_buffer=2))
+
+
+def test_latents_transpose_fix():
+    from interpolated_diffusion_tpu.data.wan_synth import _maybe_transpose_latents
+
+    lat_ct = np.zeros((16, 21, 6, 8), np.float32)  # [C,T,H,W]
+    assert _maybe_transpose_latents(lat_ct, 21).shape == (21, 16, 6, 8)
+    lat_tc = np.zeros((21, 16, 6, 8), np.float32)
+    assert _maybe_transpose_latents(lat_tc, 21).shape == (21, 16, 6, 8)
+
+
+def test_phase2_trainer_with_precomputed_anchors(tmp_path):
+    """Phase-1 train → anchor precompute → Phase-2 join path, all tiny."""
+    from interpolated_diffusion_tpu.train.train_keypoints_wansynth import main as p1_main
+    from interpolated_diffusion_tpu.data.precompute_phase1_anchors import main as pre_main
+    from interpolated_diffusion_tpu.data.wan_synth import (
+        SyntheticWanDataset, write_tar_shard,
+    )
+    from interpolated_diffusion_tpu.train.train_interp_levels_wansynth import main as p2_main
+
+    p1_dir = str(tmp_path / "p1")
+    p1_main(TINY_WAN + ["--K", "3", "--N_train", "20",
+                        "--phase1_input_mode", "short_anchors",
+                        "--lora_rank", "2", "--out_dir", p1_dir])
+    # write a tiny tar dataset matching the synthetic contract
+    ds = SyntheticWanDataset(n_samples=8, T=9, C=4, H=8, W=8, text_len=8,
+                             text_dim=64, seed=0)
+    data_root = str(tmp_path / "tars")
+    write_tar_shard(os.path.join(data_root, "shard_00000.tar"),
+                    [{"__key__": f"{i:08d}", **ds.get(i)} for i in range(8)])
+    anchors_root = str(tmp_path / "anchors")
+    pre_main(["--ckpt", os.path.join(p1_dir, "ckpt_2"),
+              "--out_root", anchors_root, "--data", "tar",
+              "--data_root", data_root, "--batch", "4", "--ddim_steps", "2",
+              "--shard_size", "8", "--bf16", "0"])
+    shards = [f for f in os.listdir(anchors_root) if f.endswith(".tar")]
+    assert shards
+    # rename anchor shard to match data shard basename for the join
+    os.rename(os.path.join(anchors_root, shards[0]),
+              os.path.join(anchors_root, "shard_00000.tar"))
+    p2_dir = str(tmp_path / "p2")
+    p2_main(TINY_WAN + ["--K_min", "3", "--levels", "2", "--mode", "adj",
+                        "--lora_rank", "2", "--data", "tar",
+                        "--data_root", data_root,
+                        "--anchors_root", anchors_root,
+                        "--out_dir", p2_dir])
+    assert os.path.exists(os.path.join(p2_dir, "ckpt_2"))
+
+
+def test_interpolator_trainers_smoke(tmp_path):
+    from interpolated_diffusion_tpu.train.train_video_interpolator import main as vi_main
+    from interpolated_diffusion_tpu.train.train_flow_interpolator_wansynth import main as fl_main
+    from interpolated_diffusion_tpu.train.train_latent_straightener_wansynth import main as st_main
+    from interpolated_diffusion_tpu.train.train_sinkhorn_interp_wansynth import main as sk_main
+
+    tiny = ["--num_samples", "12", "--T", "9", "--latent_c", "4",
+            "--latent_h", "8", "--latent_w", "8", "--text_len", "4",
+            "--text_dim", "16", "--batch", "2", "--steps", "2",
+            "--save_every", "2", "--log_every", "1", "--bf16", "0"]
+    vi_main(tiny + ["--workload", "wansynth", "--K", "3",
+                    "--out_dir", str(tmp_path / "vi")])
+    fl_main(tiny + ["--base_channels", "8", "--residual_blocks", "1",
+                    "--cost_volume", "1", "--cv_radius", "1",
+                    "--out_dir", str(tmp_path / "fl")])
+    st_main(tiny + ["--arch", "conv", "--hidden_channels", "8", "--blocks", "1",
+                    "--out_dir", str(tmp_path / "st")])
+    sk_main(tiny + ["--K", "3", "--sinkhorn_patch", "4", "--win_size", "2",
+                    "--sinkhorn_iters", "5", "--val_every", "2",
+                    "--val_batches", "1", "--out_dir", str(tmp_path / "sk")])
+
+
+def test_selection_wansynth_trainers_smoke(tmp_path):
+    from interpolated_diffusion_tpu.train.train_segment_cost_wansynth import main as sc_main
+    from interpolated_diffusion_tpu.train.train_video_selector_wansynth import main as vs_main
+
+    tiny = ["--num_samples", "12", "--T", "9", "--latent_c", "4",
+            "--latent_h", "8", "--latent_w", "8", "--text_len", "4",
+            "--text_dim", "16", "--batch", "2", "--steps", "2",
+            "--save_every", "2", "--log_every", "1", "--bf16", "0"]
+    sc_main(tiny + ["--d_cond", "16", "--hidden_dim", "16",
+                    "--out_dir", str(tmp_path / "sc")])
+    vs_main(tiny + ["--K", "3", "--d_model", "16", "--d_cond", "16",
+                    "--n_sel_layers", "1", "--n_heads", "2", "--d_ff", "32",
+                    "--eval_every", "2", "--out_dir", str(tmp_path / "vs")])
+
+
+def test_oracle_segment_cost_closed_form():
+    """Closed-form oracle cost equals the naive per-segment computation."""
+    from interpolated_diffusion_tpu.ops.oracle_segment_cost import (
+        build_oracle_seg_precompute, compute_oracle_cost_seg_mse,
+    )
+
+    B, T, D = 2, 7, 5
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, T, D))
+    pre = build_oracle_seg_precompute(T)
+    cost = np.asarray(compute_oracle_cost_seg_mse(z, pre, normalize=False))
+    z_np = np.asarray(z)
+    s = 0
+    for i in range(T - 1):
+        for j in range(i + 1, T):
+            want = 0.0
+            for t in range(i + 1, j):
+                a = (t - i) / (j - i)
+                want += (((z_np[:, t] - (1 - a) * z_np[:, i] - a * z_np[:, j]) ** 2)
+                         .mean(-1))
+            np.testing.assert_allclose(cost[:, s], want, atol=1e-3)
+            s += 1
