@@ -260,6 +260,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--s2_noise_scale", type=float, default=1.0)
     p.add_argument("--pos_clip", type=int, default=1)
     p.add_argument("--compare_oracle", type=int, default=0)
+    p.add_argument("--stage1_cache", type=str, default="")
+    p.add_argument("--stage1_cache_mode", type=str, default="none",
+                   choices=["none", "save", "load", "auto"])
     p.add_argument("--sample_seed", type=int, default=1234)
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--out_dir", type=str, default="runs/samples")
@@ -345,9 +348,35 @@ def main(argv=None):
             idx = jnp.asarray(sample_idx_policy(
                 host_rng, policy, args.batch, T, K, None, jitter))
         key, k_b = jax.random.split(key)
+        # Stage-1 cache (reference sample_generate.py:894-906, :953-972):
+        # persist {idx, z_pred} per batch; endpoint-consistency is validated
+        # on load against the current conditioning.
+        z_override = None
+        cache_path = (os.path.join(args.stage1_cache, f"stage1_{bi:04d}.npz")
+                      if args.stage1_cache else None)
+        mode = args.stage1_cache_mode
+        if cache_path and mode in ("load", "auto") and os.path.exists(cache_path):
+            with np.load(cache_path) as f:
+                idx = jnp.asarray(f["idx"])
+                z_override = jnp.asarray(f["z_pred"])
+            sg = np.asarray(cond["start_goal"])
+            z_np = np.asarray(z_override)
+            first_is_start = np.asarray(idx)[:, 0] == 0
+            if np.any(first_is_start):
+                err = np.abs(z_np[first_is_start, 0, :2]
+                             - sg[first_is_start, :2]).max()
+                if err > 1e-3:
+                    raise ValueError(
+                        f"stage1 cache {cache_path} endpoint mismatch ({err:.4f}); "
+                        "conditioning changed since the cache was written")
         t0 = time.time()
         x_interp, x_refined, z_pred = pipeline(
-            kp_params, interp_params, k_b, idx, cond, None, sel_logits)
+            kp_params, interp_params, k_b, idx, cond, z_override, sel_logits)
+        if cache_path and (mode == "save" or (mode == "auto"
+                                              and not os.path.exists(cache_path))):
+            os.makedirs(args.stage1_cache, exist_ok=True)
+            np.savez_compressed(cache_path, idx=np.asarray(idx),
+                                z_pred=np.asarray(z_pred))
         x_refined.block_until_ready()
         dt = time.time() - t0
         if bi > 0:  # skip compile batch in throughput
