@@ -1,0 +1,6 @@
+#!/usr/bin/env bash
+# Build the native data-path library into the package.
+set -euo pipefail
+cd "$(dirname "$0")"
+g++ -O3 -march=native -shared -fPIC -o ../interpolated_diffusion_tpu/data/libmaze_native.so maze_gen.cpp
+echo "built interpolated_diffusion_tpu/data/libmaze_native.so"
