@@ -13,6 +13,7 @@ the reference (dataset.py:296-320).
 """
 from __future__ import annotations
 
+import collections
 import os
 import queue
 import threading
@@ -56,8 +57,10 @@ class ParticleMazeDataset:
         self.seed = seed
         self.use_native = use_native
         self.data_dim = 4 if with_velocity else 2
-        self._cached_idx: Optional[int] = None
-        self._cached: Optional[Dict[str, np.ndarray]] = None
+        self._shard_cache: "collections.OrderedDict[int, Dict[str, np.ndarray]]" = (
+            collections.OrderedDict()
+        )
+        self._shard_cache_cap = 4
         if cache_dir is not None:
             os.makedirs(cache_dir, exist_ok=True)
 
@@ -113,8 +116,9 @@ class ParticleMazeDataset:
         return data
 
     def _load_shard(self, shard_idx: int) -> Dict[str, np.ndarray]:
-        if self._cached_idx == shard_idx:
-            return self._cached
+        if shard_idx in self._shard_cache:
+            self._shard_cache.move_to_end(shard_idx)
+            return self._shard_cache[shard_idx]
         if self.cache_dir is not None:
             path = self._shard_path(shard_idx)
             if os.path.exists(path):
@@ -125,7 +129,9 @@ class ParticleMazeDataset:
                 np.savez_compressed(path, **data)
         else:
             data = self._build_shard(shard_idx)
-        self._cached_idx, self._cached = shard_idx, data
+        self._shard_cache[shard_idx] = data
+        if len(self._shard_cache) > self._shard_cache_cap:
+            self._shard_cache.popitem(last=False)
         return data
 
     def get(self, idx: int) -> Dict[str, np.ndarray]:
@@ -141,17 +147,19 @@ class ParticleMazeDataset:
         return out
 
     def get_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
-        """Dense batch gather; fast path when all indices share one shard."""
+        """Dense batch gather, grouped by shard (each shard loaded once)."""
         indices = np.asarray(indices)
         shards = indices // self.shard_size
-        out: Dict[str, list] = {}
-        if np.all(shards == shards[0]):
-            data = self._load_shard(int(shards[0]))
-            offs = indices % self.shard_size
-            batch = {k: v[offs] for k, v in data.items()}
-        else:
-            rows = [self.get(int(i)) for i in indices]
-            batch = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        first = self._load_shard(int(shards[0]))
+        n = len(indices)
+        batch = {k: np.empty((n, *v.shape[1:]), dtype=v.dtype)
+                 for k, v in first.items()}
+        for sid in np.unique(shards):
+            data = self._load_shard(int(sid))
+            rows = np.where(shards == sid)[0]
+            offs = indices[rows] % self.shard_size
+            for k in batch:
+                batch[k][rows] = data[k][offs]
         return batch
 
 

@@ -71,5 +71,18 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Shard every leaf's leading (batch) axis over the data axis."""
-    sharding = NamedSharding(mesh, P("data"))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    def put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_superbatch(batch: Any, mesh: Mesh) -> Any:
+    """Shard [S, B, ...] superbatches: steps replicated, batch axis on data."""
+    def put(x):
+        nd = getattr(x, "ndim", 0)
+        spec = P(None, "data") if nd >= 2 else (P(None) if nd == 1 else P())
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)

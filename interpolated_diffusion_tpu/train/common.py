@@ -45,6 +45,9 @@ def add_train_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--n_data_shards", type=int, default=None,
                    help="DP width; defaults to all local devices")
+    p.add_argument("--steps_per_call", type=int, default=10,
+                   help="train steps per jit dispatch (lax.scan superbatch); "
+                        "amortizes host->device transfer latency")
 
 
 def make_dataset(args) -> Tuple[object, int]:

@@ -129,3 +129,58 @@ def make_train_step(
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_train_multi_step(
+    loss_fn: LossFn,
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.999,
+    grad_accum: int = 1,
+    steps_per_call: int = 1,
+    donate: bool = True,
+):
+    """S train steps per dispatch via lax.scan over a superbatch [S, B, ...].
+
+    Amortizes host→device transfer latency and dispatch round trips — on the
+    tunneled single-chip setup each device_put costs ~90 ms + ~30 MB/s, so a
+    10-step superbatch cuts per-step input overhead ~10×. Returns
+    (state, metrics-of-last-step).
+    """
+    if steps_per_call <= 1:
+        return make_train_step(loss_fn, tx, ema_decay, grad_accum, donate)
+
+    def grads_of(params, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
+        return loss, aux, grads
+
+    def one_step(state: TrainState, batch, rng):
+        loss, aux, grads = grads_of(state.params, batch, rng)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (
+            ema_update(state.ema_params, new_params, ema_decay)
+            if state.ema_params is not None else None
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if isinstance(aux, dict):
+            metrics.update(aux)
+        return TrainState(state.step + 1, new_params, new_opt_state, new_ema), metrics
+
+    def multi_step(state: TrainState, superbatch, rng: jax.Array):
+        rngs = jax.random.split(rng, steps_per_call)
+
+        def body(st, inp):
+            batch, r = inp
+            return one_step(st, batch, r)
+
+        state, metrics = jax.lax.scan(body, state, (superbatch, rngs))
+        return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches):
+    """List of S batch dicts → one superbatch dict with leading S axis."""
+    import numpy as np
+
+    return {k: np.stack([b[k] for b in batches]) for k in batches[0]}

@@ -28,7 +28,12 @@ from ..ops.ddpm import ddim_step, make_timesteps
 from ..ops.keyframes import build_nested_masks_from_base, build_nested_masks_batch
 from ..ops.normalize import logit_pos, sigmoid_pos
 from ..ops.schedules import make_schedule
-from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from ..parallel.mesh import (
+    make_mesh_for_batch,
+    replicate,
+    shard_batch,
+    shard_superbatch,
+)
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, read_meta, save_checkpoint
 from .batches import (
     build_interp_adjacent_batch,
@@ -37,7 +42,13 @@ from .batches import (
     gather_keypoints,
 )
 from .common import add_data_args, add_train_args, make_dataset, make_loader, sample_idx_policy
-from .state import init_train_state, make_optimizer, make_train_step
+from .state import (
+    init_train_state,
+    make_optimizer,
+    make_train_multi_step,
+    make_train_step,
+    stack_batches,
+)
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -490,7 +501,10 @@ def main(argv=None):
         selector_logits_fn = make_selector_logits_fn(args)
 
     loss_fn = make_loss_fn(model, args, bootstrap_sample, selector_logits_fn)
-    train_step = make_train_step(loss_fn, tx, args.ema_decay, args.grad_accum)
+    spc = max(1, args.steps_per_call)
+    train_step = make_train_multi_step(
+        loss_fn, tx, args.ema_decay, args.grad_accum, spc
+    )
 
     host_rng = np.random.RandomState(args.seed + 1)
     meta = make_meta(args, data_dim)
@@ -501,36 +515,44 @@ def main(argv=None):
     t0 = time.time()
     batch = sample_batch
     with mesh:
-        for step in range(start_step, args.steps):
-            dev_batch = {
-                "x": batch["x"], "occ": batch["occ"], "start_goal": batch["start_goal"],
-            }
-            if "sdf" in batch and args.use_sdf:
-                dev_batch["sdf"] = batch["sdf"]
-            if args.mask_policy == "dp" and "kp_idx" in batch:
-                dev_batch["idx_base"] = batch["kp_idx"][:, : args.K_min].astype(np.int32)
-            elif args.mask_policy == "uniform":
-                dev_batch["idx_base"] = sample_idx_policy(
-                    host_rng, "uniform:1.0", args.batch, args.T, args.K_min
-                )
-            dev_batch = shard_batch(dev_batch, mesh)
-            if bootstrap_sample is not None:
-                p = args.bootstrap_replace_prob * min(
-                    1.0, (step + 1) / max(1, args.bootstrap_warmup_steps)
-                )
-                dev_batch["bootstrap_p"] = jnp.float32(p)
+        step = start_step
+        while step < args.steps:
+            n_micro = min(spc, args.steps - step)
+            micro = []
+            for mi in range(spc):
+                dev_batch = {
+                    "x": batch["x"], "occ": batch["occ"],
+                    "start_goal": batch["start_goal"],
+                }
+                if "sdf" in batch and args.use_sdf:
+                    dev_batch["sdf"] = batch["sdf"]
+                if args.mask_policy == "dp" and "kp_idx" in batch:
+                    dev_batch["idx_base"] = batch["kp_idx"][:, : args.K_min].astype(np.int32)
+                elif args.mask_policy == "uniform":
+                    dev_batch["idx_base"] = sample_idx_policy(
+                        host_rng, "uniform:1.0", args.batch, args.T, args.K_min
+                    )
+                if bootstrap_sample is not None:
+                    p = args.bootstrap_replace_prob * min(
+                        1.0, (step + mi + 1) / max(1, args.bootstrap_warmup_steps)
+                    )
+                    dev_batch["bootstrap_p"] = np.float32(p)
+                micro.append(dev_batch)
+                batch = next(loader)
+            dev = (shard_superbatch(stack_batches(micro), mesh) if spc > 1
+                   else shard_batch(micro[0], mesh))
             rng, k_step = jax.random.split(rng)
-            state, metrics = train_step(state, dev_batch, k_step)
-            batch = next(loader)
-            if step % args.log_every == 0:
+            state, metrics = train_step(state, dev, k_step)
+            step += n_micro
+            if (step // spc) % max(1, args.log_every // spc) == 0:
                 loss = float(metrics["loss"])
                 dt = time.time() - t0
-                sps = args.batch * (step - start_step + 1) / max(dt, 1e-9)
+                sps = args.batch * (step - start_step) / max(dt, 1e-9)
                 print(f"step {step} loss {loss:.4f} | {sps:.1f} samples/s")
-            if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
-                ckpt = os.path.join(args.out_dir, f"ckpt_{step + 1}")
+            if step % args.save_every < n_micro or step >= args.steps:
+                ckpt = os.path.join(args.out_dir, f"ckpt_{step}")
                 save_checkpoint(
-                    ckpt, state.params, state.opt_state, step + 1,
+                    ckpt, state.params, state.opt_state, step,
                     state.ema_params, meta,
                 )
                 print(f"saved {ckpt}")

@@ -26,12 +26,23 @@ from ..models.denoisers import KeypointDenoiser
 from ..ops.ddpm import q_sample
 from ..ops.schedules import make_schedule
 from ..ops.selection import build_kp_feat_batch
-from ..parallel.mesh import make_mesh_for_batch, replicate, shard_batch
+from ..parallel.mesh import (
+    make_mesh_for_batch,
+    replicate,
+    shard_batch,
+    shard_superbatch,
+)
 from ..utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .batches import build_known_mask_values, gather_keypoints
 from .common import add_data_args, add_train_args, make_dataset, make_loader, sample_idx_policy
 from ..ops.normalize import logit_pos
-from .state import init_train_state, make_optimizer, make_train_step
+from .state import (
+    init_train_state,
+    make_optimizer,
+    make_train_multi_step,
+    make_train_step,
+    stack_batches,
+)
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -106,15 +117,36 @@ def build_model(args, data_dim: int) -> KeypointDenoiser:
     )
 
 
-def make_loss_fn(model: KeypointDenoiser, args, schedule):
-    """loss_fn(params, batch, rng): batch has x, occ, start_goal, idx."""
+def make_loss_fn(model: KeypointDenoiser, args, schedule, device_policy=None):
+    """loss_fn(params, batch, rng): batch has x, occ, start_goal[, idx].
+
+    device_policy ("random"/"uniform") samples anchor indices inside the
+    jitted step — avoids a host round trip per step when the policy mix has
+    no dp/selector entries (the common case).
+    """
     T = args.T
     use_kp_feat = bool(args.use_kp_feat)
     kp_feat_dim = args.kp_feat_dim
 
     def loss_fn(params, batch, rng):
         x0 = batch["x"]
-        idx = batch["idx"]
+        if device_policy is not None:
+            rng, k_policy = jax.random.split(rng)
+            if device_policy == "uniform":
+                from ..ops.keyframes import sample_fixed_k_indices_uniform_batch
+
+                idx, _ = sample_fixed_k_indices_uniform_batch(
+                    k_policy, x0.shape[0], T, args.K,
+                    jitter=args.uniform_jitter,
+                )
+            else:
+                from ..ops.keyframes import sample_fixed_k_indices_batch
+
+                idx, _ = sample_fixed_k_indices_batch(
+                    k_policy, x0.shape[0], T, args.K
+                )
+        else:
+            idx = batch["idx"]
         cond = {"occ": batch["occ"], "start_goal": batch["start_goal"]}
         if "sdf" in batch:
             cond["sdf"] = batch["sdf"]
@@ -197,8 +229,20 @@ def main(argv=None):
             print(f"resumed from {path} @ step {start_step}")
     state = replicate(state, mesh)
 
-    loss_fn = make_loss_fn(model, args, schedule)
-    train_step = make_train_step(loss_fn, tx, args.ema_decay, args.grad_accum)
+    from .batches import parse_policy_mix
+
+    mix_names = {n for n, _ in (parse_policy_mix(args.idx_policy) or [("random", 1.0)])}
+    device_policy = None
+    if mix_names == {"random"}:
+        device_policy = "random"
+    elif mix_names == {"uniform"}:
+        device_policy = "uniform"
+
+    loss_fn = make_loss_fn(model, args, schedule, device_policy)
+    spc = max(1, args.steps_per_call)
+    train_step = make_train_multi_step(
+        loss_fn, tx, args.ema_decay, args.grad_accum, spc
+    )
 
     selector_fn = None
     if "selector" in args.idx_policy:
@@ -230,39 +274,47 @@ def main(argv=None):
     t0 = time.time()
     batch = sample_batch
     with mesh:
-        for step in range(start_step, args.steps):
-            kp = batch.get("kp_idx")
-            sel_idx = None
-            if selector_fn is not None:
-                rng, k_sel = jax.random.split(rng)
-                sel_idx = np.asarray(selector_fn(
-                    {"occ": jnp.asarray(batch["occ"]),
-                     "start_goal": jnp.asarray(batch["start_goal"])},
-                    k_sel,
-                ))
-            idx = sample_idx_policy(
-                host_rng, args.idx_policy, args.batch, args.T, args.K, kp,
-                args.uniform_jitter, sel_idx,
-            )
-            dev_batch = {
-                "x": batch["x"], "occ": batch["occ"],
-                "start_goal": batch["start_goal"], "idx": idx,
-            }
-            if "sdf" in batch and args.use_sdf:
-                dev_batch["sdf"] = batch["sdf"]
-            dev_batch = shard_batch(dev_batch, mesh)
+        step = start_step
+        while step < args.steps:
+            n_micro = min(spc, args.steps - step)
+            micro = []
+            for _ in range(spc):  # fixed S (avoid re-jit); surplus repeats last
+                dev_batch = {
+                    "x": batch["x"], "occ": batch["occ"],
+                    "start_goal": batch["start_goal"],
+                }
+                if device_policy is None:
+                    kp = batch.get("kp_idx")
+                    sel_idx = None
+                    if selector_fn is not None:
+                        rng, k_sel = jax.random.split(rng)
+                        sel_idx = np.asarray(selector_fn(
+                            {"occ": jnp.asarray(batch["occ"]),
+                             "start_goal": jnp.asarray(batch["start_goal"])},
+                            k_sel,
+                        ))
+                    dev_batch["idx"] = sample_idx_policy(
+                        host_rng, args.idx_policy, args.batch, args.T, args.K, kp,
+                        args.uniform_jitter, sel_idx,
+                    )
+                if "sdf" in batch and args.use_sdf:
+                    dev_batch["sdf"] = batch["sdf"]
+                micro.append(dev_batch)
+                batch = next(loader)
+            dev = (shard_superbatch(stack_batches(micro), mesh) if spc > 1
+                   else shard_batch(micro[0], mesh))
             rng, k_step = jax.random.split(rng)
-            state, metrics = train_step(state, dev_batch, k_step)
-            batch = next(loader)  # overlap host batch build with device step
-            if step % args.log_every == 0:
+            state, metrics = train_step(state, dev, k_step)
+            step += n_micro
+            if (step // spc) % max(1, args.log_every // spc) == 0:
                 loss = float(metrics["loss"])
                 dt = time.time() - t0
-                sps = args.batch * (step - start_step + 1) / max(dt, 1e-9)
+                sps = args.batch * (step - start_step) / max(dt, 1e-9)
                 print(f"step {step} loss {loss:.4f} | {sps:.1f} samples/s")
-            if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
-                ckpt = os.path.join(args.out_dir, f"ckpt_{step + 1}")
+            if step % args.save_every < n_micro or step >= args.steps:
+                ckpt = os.path.join(args.out_dir, f"ckpt_{step}")
                 save_checkpoint(
-                    ckpt, state.params, state.opt_state, step + 1,
+                    ckpt, state.params, state.opt_state, step,
                     state.ema_params, meta,
                 )
                 print(f"saved {ckpt}")

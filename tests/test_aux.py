@@ -133,7 +133,7 @@ def test_sample_keypoints_and_stage1_cache(tmp_path):
     tiny = ["--T", "32", "--batch", "16", "--num_samples", "64",
             "--d_model", "32", "--n_layers", "2", "--n_heads", "2",
             "--d_ff", "64", "--maze_channels", "8,8", "--maze_h", "9",
-            "--maze_w", "9", "--log_every", "2", "--bf16", "0",
+            "--maze_w", "9", "--log_every", "2", "--bf16", "0", "--steps_per_call", "1",
             "--K", "4", "--steps", "2", "--save_every", "2"]
     kp_dir = str(tmp_path / "kp")
     kp_main(tiny + ["--out_dir", kp_dir])

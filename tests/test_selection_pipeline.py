@@ -83,7 +83,8 @@ def test_dphi_selector_and_selector_driven_training(prep_npz, tmp_path):
 
     common = ["--dataset", "prepared", "--prepared_path", prep_npz, "--T", "32",
               "--batch", "16", "--steps", "2", "--save_every", "2", "--log_every", "1",
-              "--maze_h", "9", "--maze_w", "9", "--maze_channels", "8,8", "--bf16", "0"]
+              "--maze_h", "9", "--maze_w", "9", "--maze_channels", "8,8", "--bf16", "0",
+              "--steps_per_call", "1"]
     sc_dir = str(tmp_path / "sc")
     sc_main(common + ["--hidden_dim", "32", "--out_dir", sc_dir])
     assert os.path.exists(os.path.join(sc_dir, "ckpt_2", "meta.json"))

@@ -19,7 +19,7 @@ TINY = [
     "--T", "32", "--batch", "16", "--num_samples", "64",
     "--d_model", "32", "--n_layers", "2", "--n_heads", "2", "--d_ff", "64",
     "--maze_channels", "8,8", "--maze_h", "9", "--maze_w", "9",
-    "--log_every", "2", "--bf16", "0",
+    "--log_every", "2", "--bf16", "0", "--steps_per_call", "1",
 ]
 
 
