@@ -32,8 +32,14 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: Optional[int] = None,
     schedule: str = "constant",
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
-    """AdamW + global-norm clip (reference create_optimizer, utils/optim.py:23)."""
+    """AdamW (default) or Muon + global-norm clip.
+
+    Parity with reference create_optimizer (utils/optim.py:23-55: fused AdamW
+    + optional torch Muon); Muon comes from optax.contrib (Newton-Schulz
+    orthogonalized momentum on 2D params, AdamW elsewhere).
+    """
     if schedule == "cosine" and total_steps:
         lr_sched = optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup_steps, total_steps
@@ -42,10 +48,13 @@ def make_optimizer(
         lr_sched = optax.linear_schedule(0.0, lr, warmup_steps)
     else:
         lr_sched = lr
-    return optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(lr_sched, weight_decay=weight_decay),
-    )
+    if optimizer == "muon":
+        opt = optax.contrib.muon(
+            lr_sched, adam_weight_decay=weight_decay
+        )
+    else:
+        opt = optax.adamw(lr_sched, weight_decay=weight_decay)
+    return optax.chain(optax.clip_by_global_norm(grad_clip), opt)
 
 
 def init_train_state(
