@@ -86,8 +86,12 @@ def main(argv=None):
 
         trainable0, fc_module, base_params = init_wan_trainables(
             jax.random.PRNGKey(0), a, base, bool(args.bf16))
-        _, payload = load_checkpoint(path, trainable0)
-        trainable = payload["params"]
+        tmpl = dict(trainable0)
+        if base_params is not None:
+            tmpl["wan_base"] = base_params
+        _, payload = load_checkpoint(path, tmpl)
+        trainable = {k: v for k, v in payload["params"].items() if k != "wan_base"}
+        base_params = payload["params"].get("wan_base", base_params)
 
         def eps_fn(z_t_tokens, t, idx, text):
             extra = None

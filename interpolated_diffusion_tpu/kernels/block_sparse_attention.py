@@ -276,15 +276,16 @@ def _dkdv_kernel_dense(
 
 def _fwd_pallas_dense(q, k, v, block_m, block_n, scale, interpret=False):
     BH, L, D = q.shape
+    L_k = k.shape[1]
     m_blocks = _pad_len(L, block_m) // block_m
-    n_blocks = _pad_len(L, block_n) // block_n
+    n_blocks = _pad_len(L_k, block_n) // block_n
     Lq, Lk = m_blocks * block_m, n_blocks * block_n
     qp = jnp.pad(q, ((0, 0), (0, Lq - L), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, Lk - L), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, Lk - L), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Lk - L_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Lk - L_k), (0, 0)))
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel_dense, scale=scale, n_blocks=n_blocks,
-                          L=L, block_n=block_n),
+                          L=L_k, block_n=block_n),
         grid=(BH, m_blocks, n_blocks),
         in_specs=[
             pl.BlockSpec((1, block_m, D), lambda bh, m, j: (bh, m, 0)),
@@ -315,12 +316,13 @@ def _fwd_pallas_dense(q, k, v, block_m, block_n, scale, interpret=False):
 def _bwd_pallas_dense(q, k, v, o, lse, do, block_m, block_n, scale,
                       interpret=False):
     BH, L, D = q.shape
+    L_k = k.shape[1]
     m_blocks = _pad_len(L, block_m) // block_m
-    n_blocks = _pad_len(L, block_n) // block_n
+    n_blocks = _pad_len(L_k, block_n) // block_n
     Lq, Lk = m_blocks * block_m, n_blocks * block_n
     qp = jnp.pad(q, ((0, 0), (0, Lq - L), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, Lk - L), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, Lk - L), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Lk - L_k), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Lk - L_k), (0, 0)))
     dop = jnp.pad(do, ((0, 0), (0, Lq - L), (0, 0)))
     delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     deltap = jnp.pad(delta, ((0, 0), (0, Lq - L))).reshape(BH, m_blocks, block_m)
@@ -329,7 +331,7 @@ def _bwd_pallas_dense(q, k, v, o, lse, do, block_m, block_n, scale,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel_dense, scale=scale, n_blocks=n_blocks,
-                          L=L, block_n=block_n),
+                          L=L_k, block_n=block_n),
         grid=(BH, m_blocks, n_blocks),
         in_specs=[
             pl.BlockSpec((1, block_m, D), lambda bh, m, j: (bh, m, 0)),
@@ -350,7 +352,7 @@ def _bwd_pallas_dense(q, k, v, o, lse, do, block_m, block_n, scale,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkdv_kernel_dense, scale=scale, m_blocks=m_blocks,
-                          L=L, block_n=block_n),
+                          L=L_k, block_n=block_n),
         grid=(BH, n_blocks, m_blocks),
         in_specs=[
             pl.BlockSpec((1, block_m, D), lambda bh, n, m: (bh, m, 0)),
@@ -377,7 +379,7 @@ def _bwd_pallas_dense(q, k, v, o, lse, do, block_m, block_n, scale,
         ),
         interpret=interpret,
     )(qp, kp, vp, dop, lsep, deltap)
-    return dq[:, :L], dk[:, :L], dv[:, :L]
+    return dq[:, :L], dk[:, :L_k], dv[:, :L_k]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -456,10 +458,10 @@ def _dq_kernel(
 
 
 def _dkdv_kernel(
-    mapt_ref,   # VMEM (1, N_BLOCKS, M_BLOCKS) int32 bitmap (per-bh full map)
+    lut_ref,    # SMEM [BH, M_BLOCKS*topk] — the same flat LUT the fwd uses
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, scale: float, m_blocks: int, L: int, block_n: int,
+    *, scale: float, m_blocks: int, L: int, block_n: int, topk: int,
 ):
     m = pl.program_id(2)
 
@@ -468,9 +470,17 @@ def _dkdv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    n = pl.program_id(1)
+    bh, n = pl.program_id(0), pl.program_id(1)
 
-    @pl.when(mapt_ref[0, n, m] > 0)
+    # membership gate: does query block m attend to key block n?  (the
+    # reference's KBID bitmap, SLA/kernel.py:167-237, realized as a scalar
+    # scan over the SMEM LUT row — topk ≤ ~32 scalar reads)
+    def scan_lut(j, hit):
+        return jnp.logical_or(hit, lut_ref[bh, m * topk + j] == n)
+
+    selected = jax.lax.fori_loop(0, topk, scan_lut, False)
+
+    @pl.when(selected)
     def _compute():
         k = k_ref[0]
         q = q_ref[0]
@@ -542,32 +552,31 @@ def _bwd_pallas(
         ),
     )(lut.reshape(BH, m_blocks * topk), qp, kp, vp, dop, lsep, deltap)[0]
 
-    # transposed bitmap: mapt[bh, n, m] = 1 iff key block n in LUT row m
-    onehot = jax.nn.one_hot(lut, n_blocks, dtype=jnp.int32).sum(axis=2)  # [BH, M, N]
-    mapt = jnp.swapaxes(onehot, 1, 2).astype(jnp.int32)                  # [BH, N, M]
-
     dk, dv = pl.pallas_call(
         functools.partial(
-            _dkdv_kernel, scale=scale, m_blocks=m_blocks, L=L, block_n=block_n
+            _dkdv_kernel, scale=scale, m_blocks=m_blocks, L=L,
+            block_n=block_n, topk=topk,
         ),
-        grid=(BH, n_blocks, m_blocks),
-        in_specs=[
-            pl.BlockSpec((1, n_blocks, m_blocks), lambda bh, n, m: (bh, 0, 0)),
-            pl.BlockSpec((1, block_m, D), lambda bh, n, m: (bh, m, 0)),
-            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
-            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
-            pl.BlockSpec((1, block_m, D), lambda bh, n, m: (bh, m, 0)),
-            pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m: (bh, 0, 0)),
-            pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m: (bh, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
-            pl.BlockSpec((1, block_n, D), lambda bh, n, m: (bh, n, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_n, D), jnp.float32),
-            pltpu.VMEM((block_n, D), jnp.float32),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BH, n_blocks, m_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_m, D), lambda bh, n, m, lut: (bh, m, 0)),
+                pl.BlockSpec((1, block_n, D), lambda bh, n, m, lut: (bh, n, 0)),
+                pl.BlockSpec((1, block_n, D), lambda bh, n, m, lut: (bh, n, 0)),
+                pl.BlockSpec((1, block_m, D), lambda bh, n, m, lut: (bh, m, 0)),
+                pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m, lut: (bh, 0, 0)),
+                pl.BlockSpec((1, m_blocks, block_m), lambda bh, n, m, lut: (bh, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_n, D), lambda bh, n, m, lut: (bh, n, 0)),
+                pl.BlockSpec((1, block_n, D), lambda bh, n, m, lut: (bh, n, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_n, D), jnp.float32),
+                pltpu.VMEM((block_n, D), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((BH, Lk, D), k.dtype),
             jax.ShapeDtypeStruct((BH, Lk, D), v.dtype),
@@ -575,7 +584,7 @@ def _bwd_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-    )(mapt, qp, kp, vp, dop, lsep, deltap)
+    )(lut.reshape(BH, m_blocks * topk), qp, kp, vp, dop, lsep, deltap)
     return dq[:, :L], dk[:, :L], dv[:, :L]
 
 

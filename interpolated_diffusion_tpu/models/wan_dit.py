@@ -28,6 +28,7 @@ from flax import linen as nn
 from ..kernels.sla import SparseLinearAttention
 from .denoisers import timestep_embedding
 from .transformer import dense_attention
+from ..kernels.block_sparse_attention import _pad_len
 
 Dtype = Any
 
@@ -148,17 +149,18 @@ class WanAttention(nn.Module):
                 head_dim=Dh, topk=self.sla_topk,
                 block_q=self.sla_block, block_k=self.sla_block, name="sla",
             )(q, k, v)
-        elif context is None and L >= 2048:
-            # long-sequence exact attention: dense Pallas flash kernel
-            # (O(L) memory; XLA dense attention would materialize the
-            # [H, L, L] logits and OOM at Wan scale).
+        elif L >= 2048:
+            # long-query exact attention (self OR cross): dense Pallas flash
+            # kernel, O(L) memory — XLA attention would materialize the
+            # [H, L, Lk] logits (6.7 GB f32 for cross-attn at Wan scale).
             from ..kernels.block_sparse_attention import flash_attention
 
+            bn = 1024 if Lk >= 1024 else max(128, _pad_len(Lk, 128))
             out = flash_attention(
                 q.reshape(B * H, L, Dh).astype(jnp.bfloat16),
-                k.reshape(B * H, L, Dh).astype(jnp.bfloat16),
-                v.reshape(B * H, L, Dh).astype(jnp.bfloat16),
-                512, 1024,
+                k.reshape(B * H, Lk, Dh).astype(jnp.bfloat16),
+                v.reshape(B * H, Lk, Dh).astype(jnp.bfloat16),
+                512, bn,
             ).reshape(B, H, L, Dh).astype(q.dtype)
         else:
             out = dense_attention(q, k, v)
@@ -203,6 +205,31 @@ class WanBlock(nn.Module):
         h = nn.gelu(h, approximate=True)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ffn_out")(h)
         return x + gate2 * h
+
+
+class WanBlockGroup(nn.Module):
+    """Several consecutive blocks under ONE remat boundary — the saved
+    activation per group is a single [B, L, dim] tensor, so remat_group=g
+    divides bwd activation memory by g (at g× block recompute)."""
+
+    n_blocks: int
+    dim: int
+    n_heads: int
+    ffn_dim: int
+    attn_mode: str = "dense"
+    sla_topk: float = 0.1
+    sla_block: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, t_mod, rope):
+        for i in range(self.n_blocks):
+            x = WanBlock(
+                dim=self.dim, n_heads=self.n_heads, ffn_dim=self.ffn_dim,
+                attn_mode=self.attn_mode, sla_topk=self.sla_topk,
+                sla_block=self.sla_block, dtype=self.dtype, name=f"block_{i}",
+            )(x, context, t_mod, rope)
+        return x
 
 
 class FrameCondProjector(nn.Module):
@@ -253,6 +280,7 @@ class WanDiT(nn.Module):
     sla_topk: float = 0.1
     sla_block: int = 256
     use_remat: bool = False
+    remat_group: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -304,15 +332,27 @@ class WanDiT(nn.Module):
         tables, dims = wan_rope_tables(self.max_seq_len, head_dim)
         rope = build_rope_freqs(tables, dims, ppf, pph, ppw, frame_indices, B)
 
-        block_cls = WanBlock
         if self.use_remat:
-            block_cls = nn.remat(WanBlock)
-        for i in range(self.n_layers):
-            x = block_cls(
-                dim=self.dim, n_heads=self.n_heads, ffn_dim=self.ffn_dim,
-                attn_mode=self.attn_mode, sla_topk=self.sla_topk,
-                sla_block=self.sla_block, dtype=self.dtype, name=f"block_{i}",
-            )(x, ctx, t_mod, rope)
+            group_cls = nn.remat(WanBlockGroup)
+            i = 0
+            g = 0
+            while i < self.n_layers:
+                n = min(self.remat_group, self.n_layers - i)
+                x = group_cls(
+                    n_blocks=n, dim=self.dim, n_heads=self.n_heads,
+                    ffn_dim=self.ffn_dim, attn_mode=self.attn_mode,
+                    sla_topk=self.sla_topk, sla_block=self.sla_block,
+                    dtype=self.dtype, name=f"group_{g}",
+                )(x, ctx, t_mod, rope)
+                i += n
+                g += 1
+        else:
+            for i in range(self.n_layers):
+                x = WanBlock(
+                    dim=self.dim, n_heads=self.n_heads, ffn_dim=self.ffn_dim,
+                    attn_mode=self.attn_mode, sla_topk=self.sla_topk,
+                    sla_block=self.sla_block, dtype=self.dtype, name=f"block_{i}",
+                )(x, ctx, t_mod, rope)
 
         # final modulated norm + unpatchify
         table = self.param(

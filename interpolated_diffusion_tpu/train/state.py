@@ -57,6 +57,47 @@ def make_optimizer(
     return optax.chain(optax.clip_by_global_norm(grad_clip), opt)
 
 
+def with_frozen_partition(
+    tx: optax.GradientTransformation, label_fn
+) -> optax.GradientTransformation:
+    """Wrap tx so params labeled "freeze" get zero updates and no optimizer
+    state — frozen-base (e.g. LoRA) training without capturing the base as a
+    jit constant."""
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, label_fn
+    )
+
+
+def make_train_step_frozen(
+    loss_fn,                       # loss_fn(params, frozen, batch, rng)
+    tx: optax.GradientTransformation,
+    ema_decay: float = 0.999,
+    donate: bool = True,
+):
+    """Train step with a large frozen pytree passed as a plain argument.
+
+    Differentiates ONLY w.r.t. `params` — the frozen tree (e.g. a 1.3B LoRA
+    base) is neither captured as a multi-GB jit constant nor materialized as
+    a zero-gradient tree (which OOMs HBM at Wan scale)."""
+
+    def step_fn(state: TrainState, frozen, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, frozen, batch, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = (
+            ema_update(state.ema_params, new_params, ema_decay)
+            if state.ema_params is not None else None
+        )
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if isinstance(aux, dict):
+            metrics.update(aux)
+        return TrainState(state.step + 1, new_params, new_opt_state, new_ema), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
 def init_train_state(
     params: Any,
     tx: optax.GradientTransformation,

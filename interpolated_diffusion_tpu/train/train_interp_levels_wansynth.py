@@ -131,7 +131,7 @@ def main(argv=None):
         interp_mode=args.interp_mode, clamp_endpoints=False,
     )
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, frozen, batch, rng):
         latents = batch["latents"]
         text = batch["text_embed"]
         B = latents.shape[0]
@@ -168,7 +168,7 @@ def main(argv=None):
                 feats.append(mask_prev[:, :, :1].astype(jnp.float32))
             feat = jnp.concatenate(feats, axis=-1)
             extra = fc_module.apply({"params": params["frame_cond"]}, feat)
-            wparams = merged_wan_params(params, base, args)
+            wparams = merged_wan_params(params, frozen, args)
             lat_in = jnp.transpose(unpatchify_tokens(z_s, p_sz, spatial), (0, 2, 1, 3, 4))
             t_in = (s_idx * args.level_t_scale).astype(jnp.int32)
             pred = wan.apply({"params": wparams}, lat_in, t_in, text, None, extra)
@@ -204,9 +204,9 @@ def main(argv=None):
                 opt_state=payload.get("opt_state", state.opt_state),
             )
     state = replicate(state, mesh)
-    if base is not None:
-        base = replicate(base, mesh)
-    train_step = make_train_step(loss_fn, tx, args.ema_decay, args.grad_accum)
+    from .state import make_train_step_frozen
+
+    train_step = make_train_step_frozen(loss_fn, tx, args.ema_decay)
 
     meta = {
         "stage": "interp_levels_wansynth", "T": T, "K_min": args.K_min,
@@ -234,7 +234,7 @@ def main(argv=None):
                 dev["anchor_idx"] = batch["anchor_idx"]
             dev = shard_batch(dev, mesh)
             rng, k = jax.random.split(rng)
-            state, metrics = train_step(state, dev, k)
+            state, metrics = train_step(state, base, dev, k)
             batch = next(loader)
             if step % args.log_every == 0:
                 loss = float(metrics["loss"])
@@ -245,8 +245,11 @@ def main(argv=None):
                 print(f"step {step} loss {loss:.4f} | {dt/n:.3f}s/step "
                       f"| {args.batch*n/dt:.2f} samples/s")
             if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
+                to_save = dict(state.params)
+                if base is not None:
+                    to_save["wan_base"] = base
                 save_checkpoint(os.path.join(args.out_dir, f"ckpt_{step + 1}"),
-                                state.params, None, step + 1, state.ema_params, meta)
+                                to_save, None, step + 1, state.ema_params, meta)
     return state
 
 

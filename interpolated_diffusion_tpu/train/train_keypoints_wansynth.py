@@ -134,7 +134,7 @@ def main(argv=None):
         print(f"token model params: "
               f"{sum(x.size for x in jax.tree_util.tree_leaves(trainable))/1e6:.2f}M")
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, frozen, batch, rng):
         latents = batch["latents"]          # [B,T,C,H,W]
         text = batch["text_embed"]
         B = latents.shape[0]
@@ -175,7 +175,7 @@ def main(argv=None):
                 if mode != "full":
                     feat = jnp.take_along_axis(feat, idx_in[..., None], axis=1)
                 extra = fc_module.apply({"params": params["frame_cond"]}, feat)
-            wparams = merged_wan_params(params, base, args)
+            wparams = merged_wan_params(params, frozen, args)
             if mode == "full":
                 # scatter noisy anchors into the T-seq + interpolate the rest
                 z_flat = jnp.transpose(z_t, (0, 2, 1, 3)).reshape(B * N, args.K, D_tok)
@@ -222,9 +222,9 @@ def main(argv=None):
                 opt_state=payload.get("opt_state", state.opt_state),
             )
     state = replicate(state, mesh)
-    if base is not None:
-        base = replicate(base, mesh)
-    train_step = make_train_step(loss_fn, tx, args.ema_decay, args.grad_accum)
+    from .state import make_train_step_frozen
+
+    train_step = make_train_step_frozen(loss_fn, tx, args.ema_decay)
 
     meta = {
         "stage": "keypoints_wansynth", "T": T, "K": args.K,
@@ -253,7 +253,7 @@ def main(argv=None):
                 mesh,
             )
             rng, k = jax.random.split(rng)
-            state, metrics = train_step(state, dev, k)
+            state, metrics = train_step(state, base, dev, k)
             batch = next(loader)
             if step % args.log_every == 0:
                 loss = float(metrics["loss"])  # device sync = true step timing
@@ -265,8 +265,11 @@ def main(argv=None):
                 print(f"step {step} loss {loss:.4f} | {dt/steps_done:.3f}s/step "
                       f"| {sps:.2f} samples/s | {sps*T:.1f} frames/s")
             if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
+                to_save = dict(state.params)
+                if base is not None:
+                    to_save["wan_base"] = base
                 save_checkpoint(os.path.join(args.out_dir, f"ckpt_{step + 1}"),
-                                state.params, None, step + 1, state.ema_params, meta)
+                                to_save, None, step + 1, state.ema_params, meta)
     return state
 
 
