@@ -71,6 +71,8 @@ def main(argv=None):
             latent_c=C, text_dim=meta["text_dim"], attn_mode=meta["attn_mode"],
             sla_topk=meta["sla_topk"], sla_block=128, use_remat=0,
             lora_rank=meta["lora_rank"], lora_alpha=meta["lora_alpha"],
+            lora_form=meta.get("lora_form", "merged"),
+            lora_targets=meta.get("lora_targets", "attn,ffn"),
             frame_cond=meta["frame_cond"], frame_cond_dim=5, T=T,
         ).items():
             setattr(a, k_, v_)

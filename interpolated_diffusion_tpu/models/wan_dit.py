@@ -105,6 +105,52 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 # modules
 # ---------------------------------------------------------------------------
 
+class LoRADense(nn.Module):
+    """Dense with runtime low-rank adaptation: y = x·W + b + (α/r)·(x·A)·B.
+
+    `kernel`/`bias` sit at the SAME param paths as `nn.Dense`, so a plain
+    base checkpoint drops straight in; `lora_A`/`lora_B` live alongside.
+    Unlike merge-form LoRA (models/lora.py apply_lora, which materializes a
+    full extra weight copy — ~2.9 GB bf16 at 1.3B scale), the low-rank delta
+    is applied to ACTIVATIONS and the base is never duplicated; this is what
+    lets Phase-1 `full`-length training fit a 16 GB chip.
+
+    Reference semantics: src/models/lora.py (LoRALinear forward +
+    mark_only_lora_trainable) — the trainable/frozen split is realized
+    trainer-side as a structural param partition
+    (train/wansynth_common.py::split_lora_params).
+    """
+
+    features: int
+    rank: int = 0
+    alpha: float = 16.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (d_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
+        if self.rank <= 0:
+            return y
+        A = self.param("lora_A", nn.initializers.normal(1.0 / float(self.rank)),
+                       (d_in, self.rank))
+        Bm = self.param("lora_B", nn.initializers.zeros,
+                        (self.rank, self.features))
+        delta = (x @ A.astype(self.dtype)) @ Bm.astype(self.dtype)
+        return y + delta * (self.alpha / float(self.rank))
+
+
+def _dense(features, dtype, name, rank=0, alpha=16.0):
+    """nn.Dense, or LoRADense when rank > 0 (runtime-form adapters)."""
+    if rank > 0:
+        return LoRADense(features=features, rank=rank, alpha=alpha,
+                         dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
+
+
 class RMSNorm(nn.Module):
     dim: int
     eps: float = 1e-6
@@ -123,6 +169,8 @@ class WanAttention(nn.Module):
     attn_mode: str = "dense"      # dense | sla (self-attention only)
     sla_topk: float = 0.1
     sla_block: int = 128
+    lora_rank: int = 0            # runtime-form LoRA on q/k/v/o when > 0
+    lora_alpha: float = 16.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -131,9 +179,10 @@ class WanAttention(nn.Module):
         H = self.n_heads
         Dh = self.dim // H
         kv_src = x if context is None else context
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(kv_src)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(kv_src)
+        r, a = self.lora_rank, self.lora_alpha
+        q = _dense(self.dim, self.dtype, "q_proj", r, a)(x)
+        k = _dense(self.dim, self.dtype, "k_proj", r, a)(kv_src)
+        v = _dense(self.dim, self.dtype, "v_proj", r, a)(kv_src)
         q = RMSNorm(self.dim, dtype=self.dtype, name="q_norm")(q)
         k = RMSNorm(self.dim, dtype=self.dtype, name="k_norm")(k)
         Lk = kv_src.shape[1]
@@ -165,7 +214,7 @@ class WanAttention(nn.Module):
         else:
             out = dense_attention(q, k, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="o_proj")(out)
+        return _dense(self.dim, self.dtype, "o_proj", r, a)(out)
 
 
 class WanBlock(nn.Module):
@@ -175,10 +224,17 @@ class WanBlock(nn.Module):
     attn_mode: str = "dense"
     sla_topk: float = 0.1
     sla_block: int = 256
+    lora_rank: int = 0            # runtime-form LoRA rank (0 = plain Dense)
+    lora_alpha: float = 16.0
+    lora_targets: str = "attn,ffn"
+
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context, t_mod, rope):
+        targets = {t.strip() for t in self.lora_targets.split(",")}
+        r_attn = self.lora_rank if "attn" in targets else 0
+        r_ffn = self.lora_rank if "ffn" in targets else 0
         # t_mod: [B, 6, dim]; per-block learned scale-shift table added in.
         table = self.param(
             "scale_shift_table", nn.initializers.normal(0.02), (1, 6, self.dim)
@@ -192,18 +248,21 @@ class WanBlock(nn.Module):
         h = h * (1 + scale1) + shift1
         x = x + gate1 * WanAttention(
             self.dim, self.n_heads, self.attn_mode, self.sla_topk, self.sla_block,
+            lora_rank=r_attn, lora_alpha=self.lora_alpha,
             dtype=self.dtype, name="self_attn",
         )(h, rope=rope)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + WanAttention(
-            self.dim, self.n_heads, "dense", dtype=self.dtype, name="cross_attn",
+            self.dim, self.n_heads, "dense",
+            lora_rank=r_attn, lora_alpha=self.lora_alpha,
+            dtype=self.dtype, name="cross_attn",
         )(h, context=context)
         h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype,
                          name="norm3")(x)
         h = h * (1 + scale2) + shift2
-        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_in")(h)
+        h = _dense(self.ffn_dim, self.dtype, "ffn_in", r_ffn, self.lora_alpha)(h)
         h = nn.gelu(h, approximate=True)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="ffn_out")(h)
+        h = _dense(self.dim, self.dtype, "ffn_out", r_ffn, self.lora_alpha)(h)
         return x + gate2 * h
 
 
@@ -219,6 +278,9 @@ class WanBlockGroup(nn.Module):
     attn_mode: str = "dense"
     sla_topk: float = 0.1
     sla_block: int = 256
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: str = "attn,ffn"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -227,7 +289,9 @@ class WanBlockGroup(nn.Module):
             x = WanBlock(
                 dim=self.dim, n_heads=self.n_heads, ffn_dim=self.ffn_dim,
                 attn_mode=self.attn_mode, sla_topk=self.sla_topk,
-                sla_block=self.sla_block, dtype=self.dtype, name=f"block_{i}",
+                sla_block=self.sla_block, lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha, lora_targets=self.lora_targets,
+                dtype=self.dtype, name=f"block_{i}",
             )(x, context, t_mod, rope)
         return x
 
@@ -279,6 +343,9 @@ class WanDiT(nn.Module):
     attn_mode: str = "dense"
     sla_topk: float = 0.1
     sla_block: int = 256
+    lora_rank: int = 0            # > 0 enables runtime-form LoRA in blocks
+    lora_alpha: float = 16.0
+    lora_targets: str = "attn,ffn"
     use_remat: bool = False
     remat_group: int = 1
     dtype: Dtype = jnp.float32
@@ -342,6 +409,8 @@ class WanDiT(nn.Module):
                     n_blocks=n, dim=self.dim, n_heads=self.n_heads,
                     ffn_dim=self.ffn_dim, attn_mode=self.attn_mode,
                     sla_topk=self.sla_topk, sla_block=self.sla_block,
+                    lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                    lora_targets=self.lora_targets,
                     dtype=self.dtype, name=f"group_{g}",
                 )(x, ctx, t_mod, rope)
                 i += n
@@ -351,7 +420,9 @@ class WanDiT(nn.Module):
                 x = WanBlock(
                     dim=self.dim, n_heads=self.n_heads, ffn_dim=self.ffn_dim,
                     attn_mode=self.attn_mode, sla_topk=self.sla_topk,
-                    sla_block=self.sla_block, dtype=self.dtype, name=f"block_{i}",
+                    sla_block=self.sla_block, lora_rank=self.lora_rank,
+                    lora_alpha=self.lora_alpha, lora_targets=self.lora_targets,
+                    dtype=self.dtype, name=f"block_{i}",
                 )(x, ctx, t_mod, rope)
 
         # final modulated norm + unpatchify

@@ -214,6 +214,8 @@ def main(argv=None):
         "wan_dim": args.wan_dim, "wan_layers": args.wan_layers,
         "wan_heads": args.wan_heads, "wan_ffn": args.wan_ffn,
         "attn_mode": args.attn_mode, "lora_rank": args.lora_rank,
+        "lora_alpha": args.lora_alpha, "lora_form": args.lora_form,
+        "lora_targets": args.lora_targets,
         "patch_size": p_sz, "latent_c": C, "latent_h": H, "latent_w": W,
         "text_dim": args.text_dim, "mask_channels": mask_channels,
         "level_t_scale": args.level_t_scale,

@@ -7,6 +7,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import traverse_util
 
 from ..data.dataset import BatchLoader
 from ..data.wan_synth import SyntheticWanDataset, WanSynthTarDataset
@@ -41,6 +42,12 @@ def add_wan_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lora_targets", type=str, default="attn,ffn",
                    help="comma set of {attn, ffn}; attn-only halves the "
                         "merged-weight HBM footprint")
+    p.add_argument("--lora_form", type=str, default="runtime",
+                   choices=["runtime", "merged"],
+                   help="runtime: y += (α/r)(x·A)B inside each Dense, no "
+                        "merged weight copy (fits full-length Phase-1 in "
+                        "16 GB); merged: W' = W + α/r·A·B adapter-tree "
+                        "(reference form)")
     p.add_argument("--use_remat", type=int, default=1)
     p.add_argument("--frame_cond", type=int, default=1)
     p.add_argument("--frame_cond_dim", type=int, default=5)
@@ -62,15 +69,52 @@ def make_wansynth_loader(args, seed: int):
     return iter(BatchLoader(ds, batch_size=args.batch, seed=seed))
 
 
+def _lora_form(args) -> str:
+    return str(getattr(args, "lora_form", "merged"))
+
+
 def build_wan(args, bf16: bool = True) -> WanDiT:
+    # runtime-form LoRA lives INSIDE the model (LoRADense); merged form keeps
+    # a plain-Dense model and merges the adapter tree outside.
+    runtime_rank = (args.lora_rank
+                    if _lora_form(args) == "runtime" and args.lora_rank > 0
+                    else 0)
     return WanDiT(
         dim=args.wan_dim, n_layers=args.wan_layers, n_heads=args.wan_heads,
         ffn_dim=args.wan_ffn, in_channels=args.latent_c,
         out_channels=args.latent_c, text_dim=args.text_dim,
         attn_mode=args.attn_mode, sla_topk=args.sla_topk,
-        sla_block=args.sla_block, use_remat=bool(args.use_remat),
+        sla_block=args.sla_block,
+        lora_rank=runtime_rank, lora_alpha=args.lora_alpha,
+        lora_targets=str(getattr(args, "lora_targets", "attn,ffn")),
+        use_remat=bool(args.use_remat),
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
+
+
+_LORA_LEAVES = ("lora_A", "lora_B")
+
+
+def split_lora_params(wan_params) -> Tuple[Dict, Dict]:
+    """Partition a runtime-LoRA param tree into (lora leaves, frozen rest).
+
+    Structural only — no tensor math, no copies. The frozen rest has exactly
+    the param paths of a lora_rank=0 WanDiT, so plain base checkpoints
+    interchange with it. Reference: src/models/lora.py
+    mark_only_lora_trainable (requires_grad masking), realized here as a
+    tree partition consumed by make_train_step_frozen.
+    """
+    flat = traverse_util.flatten_dict(wan_params)
+    tr = {k: v for k, v in flat.items() if k[-1] in _LORA_LEAVES}
+    fr = {k: v for k, v in flat.items() if k[-1] not in _LORA_LEAVES}
+    return traverse_util.unflatten_dict(tr), traverse_util.unflatten_dict(fr)
+
+
+def join_lora_params(lora_tree: Dict, base: Dict) -> Dict:
+    """Inverse of split_lora_params — dict-union of the two partitions."""
+    flat = dict(traverse_util.flatten_dict(base))
+    flat.update(traverse_util.flatten_dict(lora_tree))
+    return traverse_util.unflatten_dict(flat)
 
 
 def init_wan_trainables(
@@ -95,7 +139,15 @@ def init_wan_trainables(
         trainable["frame_cond"] = fc_module.init(
             k_fc, jnp.zeros((1, args.T, args.frame_cond_dim))
         )["params"]
-    if args.lora_rank > 0:
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    if args.lora_rank > 0 and _lora_form(args) == "runtime":
+        # wan_params came from a LoRADense model: lora_A/lora_B leaves are
+        # already in the tree. Split structurally; A/B stay f32 masters,
+        # the frozen rest drops to compute dtype (no f32 copy needed).
+        lora_tree, rest = split_lora_params(wan_params)
+        trainable["lora"] = lora_tree
+        base = jax.tree_util.tree_map(lambda x: x.astype(dt), rest)
+    elif args.lora_rank > 0:
         targets = {t.strip() for t in
                    str(getattr(args, "lora_targets", "attn,ffn")).split(",")}
         pats = []
@@ -110,7 +162,6 @@ def init_wan_trainables(
         # the frozen base needs no f32 master copy — store in compute dtype
         # (halves HBM at 1.3B scale: 5.7 GB → 2.9 GB, and the LoRA-merged
         # copy shrinks the same way)
-        dt = jnp.bfloat16 if bf16 else jnp.float32
         base = jax.tree_util.tree_map(lambda x: x.astype(dt), wan_params)
     else:
         trainable["wan"] = wan_params
@@ -126,6 +177,8 @@ def merged_wan_params(params: Dict, base, args):
     zero-gradient allocation.
     """
     if args.lora_rank > 0:
+        if _lora_form(args) == "runtime":
+            return join_lora_params(params["lora"], base)
         return apply_lora(base, params["lora"], args.lora_rank, args.lora_alpha)
     return params["wan"]
 
