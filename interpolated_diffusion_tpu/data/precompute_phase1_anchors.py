@@ -73,6 +73,7 @@ def main(argv=None):
             lora_rank=meta["lora_rank"], lora_alpha=meta["lora_alpha"],
             lora_form=meta.get("lora_form", "merged"),
             lora_targets=meta.get("lora_targets", "attn,ffn"),
+            layer_mode=meta.get("layer_mode", "loop"),
             frame_cond=meta["frame_cond"], frame_cond_dim=5, T=T,
         ).items():
             setattr(a, k_, v_)

@@ -84,6 +84,8 @@ class SparseLinearAttention(nn.Module):
     block_k: int = 256
     impl: str = "pallas"
     bwd_impl: str = "pallas"
+    quant: str = "none"        # none | int8 (SageSLA analogue: int8 Q/K on
+                               # the MXU int8 path, bf16 V, per-row scales)
 
     @nn.compact
     def __call__(
@@ -99,10 +101,19 @@ class SparseLinearAttention(nn.Module):
         _, lut, real_topk = get_block_map(
             qf, kf, self.topk, self.block_q, self.block_k
         )
-        o_s = block_sparse_attention(
-            qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
-            lut, self.block_q, self.block_k, None, self.impl, self.bwd_impl,
-        )
+        if self.quant == "int8":
+            from .int8_attention import int8_block_sparse_attention
+
+            o_s = int8_block_sparse_attention(
+                qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
+                vf.astype(jnp.bfloat16), lut, self.block_q, self.block_k,
+                None, True, self.bwd_impl, self.impl != "pallas",
+            )
+        else:
+            o_s = block_sparse_attention(
+                qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
+                lut, self.block_q, self.block_k, None, self.impl, self.bwd_impl,
+            )
         o_l = _linear_attention(
             qf.astype(jnp.float32), kf.astype(jnp.float32), vf.astype(jnp.float32),
             self.feature_map,

@@ -132,6 +132,7 @@ class LoRADense(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (d_in, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)   # keep the residual stream in compute dtype
         y = x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
         if self.rank <= 0:
             return y
@@ -160,7 +161,8 @@ class RMSNorm(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.dim,))
         var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-        return (x * jax.lax.rsqrt(var + self.eps)).astype(self.dtype) * scale
+        return ((x * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
+                * scale.astype(self.dtype))
 
 
 class WanAttention(nn.Module):
@@ -193,10 +195,12 @@ class WanAttention(nn.Module):
             cos, sin = rope
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        if self.attn_mode == "sla" and context is None:
+        if self.attn_mode in ("sla", "sage_sla") and context is None:
             out = SparseLinearAttention(
                 head_dim=Dh, topk=self.sla_topk,
-                block_q=self.sla_block, block_k=self.sla_block, name="sla",
+                block_q=self.sla_block, block_k=self.sla_block,
+                quant="int8" if self.attn_mode == "sage_sla" else "none",
+                name="sla",
             )(q, k, v)
         elif L >= 2048:
             # long-query exact attention (self OR cross): dense Pallas flash
@@ -296,6 +300,86 @@ class WanBlockGroup(nn.Module):
         return x
 
 
+class _WanBlockScanBody(nn.Module):
+    """nn.scan body: one WanBlock per layer with params stacked on axis 0.
+
+    Carry = the token stream; context/t_mod/rope are nn.broadcast inputs.
+    Under `jit`, XLA compiles ONE block and loops it (30× faster compiles
+    than the unrolled stack), and under AD the backward pass holds one
+    block's activations at a time instead of scheduling buffers across all
+    30 unrolled blocks — this is what lets the Phase-1 `full`-length LoRA
+    step fit a 16 GB chip (tracked as round-1 gap #2 in docs/PARITY.md)."""
+
+    dim: int
+    n_heads: int
+    ffn_dim: int
+    attn_mode: str = "dense"
+    sla_topk: float = 0.1
+    sla_block: int = 256
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: str = "attn,ffn"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, t_mod, rope):
+        x = WanBlock(
+            dim=self.dim, n_heads=self.n_heads, ffn_dim=self.ffn_dim,
+            attn_mode=self.attn_mode, sla_topk=self.sla_topk,
+            sla_block=self.sla_block, lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha, lora_targets=self.lora_targets,
+            dtype=self.dtype, name="block",
+        )(x, context, t_mod, rope)
+        return x, None
+
+
+def _iter_block_trees(params: Dict, n_layers: int):
+    """Yield per-block param subtrees in layer order from a loop-layout tree
+    (either `block_{i}` or remat-group `group_{g}/block_{j}` naming)."""
+    if "block_0" in params:
+        for i in range(n_layers):
+            yield params[f"block_{i}"]
+        return
+    g = 0
+    count = 0
+    while f"group_{g}" in params:
+        grp = params[f"group_{g}"]
+        j = 0
+        while f"block_{j}" in grp:
+            yield grp[f"block_{j}"]
+            count += 1
+            j += 1
+        g += 1
+    if count != n_layers and g > 0:
+        raise ValueError(f"found {count} blocks in groups, expected {n_layers}")
+
+
+def stack_block_params(params: Dict, n_layers: int) -> Dict:
+    """Convert a loop-layout WanDiT param tree (block_{i} / group_{g})
+    to the scan layout: all per-block params stacked on a new leading
+    layer axis under `blocks/block`. Non-block params pass through."""
+    blocks = list(_iter_block_trees(params, n_layers))
+    if len(blocks) != n_layers:
+        raise ValueError(f"found {len(blocks)} blocks, expected {n_layers}")
+    out = {
+        k: v for k, v in params.items()
+        if not (k.startswith("block_") or k.startswith("group_"))
+    }
+    out["blocks"] = {"block": jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *blocks
+    )}
+    return out
+
+
+def unstack_block_params(params: Dict, n_layers: int) -> Dict:
+    """Inverse of stack_block_params: scan layout → `block_{i}` loop layout."""
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    stacked = params["blocks"]["block"]
+    for i in range(n_layers):
+        out[f"block_{i}"] = jax.tree_util.tree_map(lambda x: x[i], stacked)
+    return out
+
+
 class FrameCondProjector(nn.Module):
     """Per-frame features → extra cross-attn tokens in text space; zero-init
     output so the pretrained cross-attn is undisturbed at start."""
@@ -348,6 +432,8 @@ class WanDiT(nn.Module):
     lora_targets: str = "attn,ffn"
     use_remat: bool = False
     remat_group: int = 1
+    layer_mode: str = "loop"      # loop (unrolled, block_{i} params) |
+                                  # scan (lax.scan over stacked blocks/block)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -399,7 +485,25 @@ class WanDiT(nn.Module):
         tables, dims = wan_rope_tables(self.max_seq_len, head_dim)
         rope = build_rope_freqs(tables, dims, ppf, pph, ppw, frame_indices, B)
 
-        if self.use_remat:
+        if self.layer_mode == "scan":
+            body = _WanBlockScanBody
+            if self.use_remat:
+                body = nn.remat(body, prevent_cse=False)
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                length=self.n_layers,
+            )(
+                dim=self.dim, n_heads=self.n_heads, ffn_dim=self.ffn_dim,
+                attn_mode=self.attn_mode, sla_topk=self.sla_topk,
+                sla_block=self.sla_block, lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha, lora_targets=self.lora_targets,
+                dtype=self.dtype, name="blocks",
+            )
+            x, _ = scanned(x, ctx, t_mod, rope)
+        elif self.use_remat:
             group_cls = nn.remat(WanBlockGroup)
             i = 0
             g = 0

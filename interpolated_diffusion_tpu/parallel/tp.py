@@ -15,27 +15,36 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # kernels whose OUTPUT features are split (column parallel)
-_COL_PARALLEL = ("qkv", "ff1", "t_fc1", "lvl_fc1", "fc1")
+_COL_PARALLEL = ("qkv", "ff1", "t_fc1", "lvl_fc1", "fc1",
+                 "q_proj", "k_proj", "v_proj", "ffn_in")
 # kernels whose INPUT features are split (row parallel)
-_ROW_PARALLEL = ("attn_out", "ff2", "t_fc2", "lvl_fc2", "fc2")
+_ROW_PARALLEL = ("attn_out", "ff2", "t_fc2", "lvl_fc2", "fc2",
+                 "o_proj", "ffn_out")
 
 
 def tp_param_sharding(params: Any, mesh: Mesh) -> Any:
-    """NamedSharding pytree for params under (data, model) mesh TP rules."""
+    """NamedSharding pytree for params under (data, model) mesh TP rules.
+
+    Handles both unrolled layouts (kernel [in, out]) and scan-over-layers
+    stacked layouts (kernel [n_layers, in, out], bias [n_layers, out]) —
+    the leading layer axis stays replicated, feature axes split on `model`.
+    """
     n_model = mesh.shape["model"]
 
     def spec_for(path, leaf) -> NamedSharding:
         names = [str(getattr(k, "key", k)) for k in path]
         owner = names[-2] if len(names) >= 2 else ""
         leafname = names[-1]
-        if n_model > 1 and leaf.ndim == 2 and leafname == "kernel":
-            if owner in _COL_PARALLEL and leaf.shape[1] % n_model == 0:
-                return NamedSharding(mesh, P(None, "model"))
-            if owner in _ROW_PARALLEL and leaf.shape[0] % n_model == 0:
-                return NamedSharding(mesh, P("model", None))
-        if n_model > 1 and leaf.ndim == 1 and leafname == "bias":
-            if owner in _COL_PARALLEL and leaf.shape[0] % n_model == 0:
-                return NamedSharding(mesh, P("model"))
+        if n_model > 1 and leafname == "kernel" and leaf.ndim in (2, 3):
+            lead = (None,) * (leaf.ndim - 2)
+            if owner in _COL_PARALLEL and leaf.shape[-1] % n_model == 0:
+                return NamedSharding(mesh, P(*lead, None, "model"))
+            if owner in _ROW_PARALLEL and leaf.shape[-2] % n_model == 0:
+                return NamedSharding(mesh, P(*lead, "model", None))
+        if n_model > 1 and leafname == "bias" and leaf.ndim in (1, 2):
+            lead = (None,) * (leaf.ndim - 1)
+            if owner in _COL_PARALLEL and leaf.shape[-1] % n_model == 0:
+                return NamedSharding(mesh, P(*lead, "model"))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

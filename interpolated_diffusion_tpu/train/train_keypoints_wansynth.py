@@ -235,6 +235,7 @@ def main(argv=None):
         "attn_mode": args.attn_mode, "sla_topk": args.sla_topk,
         "lora_rank": args.lora_rank, "lora_alpha": args.lora_alpha,
         "lora_form": args.lora_form, "lora_targets": args.lora_targets,
+        "layer_mode": args.layer_mode,
         "frame_cond": args.frame_cond, "patch_size": p_sz,
         "latent_c": C, "latent_h": H, "latent_w": W,
         "text_dim": args.text_dim,

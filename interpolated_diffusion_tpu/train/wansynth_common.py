@@ -34,7 +34,10 @@ def add_wan_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--wan_layers", type=int, default=30)
     p.add_argument("--wan_heads", type=int, default=12)
     p.add_argument("--wan_ffn", type=int, default=8960)
-    p.add_argument("--attn_mode", type=str, default="sla", choices=["dense", "sla"])
+    p.add_argument("--attn_mode", type=str, default="sla",
+                   choices=["dense", "sla", "sage_sla"],
+                   help="sage_sla: int8-quantized Q/K block-sparse kernel "
+                        "(reference SageSparseLinearAttention analogue)")
     p.add_argument("--sla_topk", type=float, default=0.1)
     p.add_argument("--sla_block", type=int, default=256)
     p.add_argument("--lora_rank", type=int, default=8)
@@ -49,6 +52,12 @@ def add_wan_model_args(p: argparse.ArgumentParser) -> None:
                         "16 GB); merged: W' = W + α/r·A·B adapter-tree "
                         "(reference form)")
     p.add_argument("--use_remat", type=int, default=1)
+    p.add_argument("--layer_mode", type=str, default="scan",
+                   choices=["loop", "scan"],
+                   help="scan: lax.scan over stacked block params — one "
+                        "compiled block, bwd activation memory bounded to "
+                        "one block (fits Phase-1 full mode in 16 GB); "
+                        "loop: unrolled block_{i} params (reference-like)")
     p.add_argument("--frame_cond", type=int, default=1)
     p.add_argument("--frame_cond_dim", type=int, default=5)
     p.add_argument("--patch_size", type=int, default=2)
@@ -88,6 +97,7 @@ def build_wan(args, bf16: bool = True) -> WanDiT:
         lora_rank=runtime_rank, lora_alpha=args.lora_alpha,
         lora_targets=str(getattr(args, "lora_targets", "attn,ffn")),
         use_remat=bool(args.use_remat),
+        layer_mode=str(getattr(args, "layer_mode", "loop")),
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
 
