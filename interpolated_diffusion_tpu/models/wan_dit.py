@@ -529,11 +529,15 @@ class WanDiT(nn.Module):
                     dtype=self.dtype, name=f"block_{i}",
                 )(x, ctx, t_mod, rope)
 
-        # final modulated norm + unpatchify
+        # final modulated norm + unpatchify. Wan semantics: the head table is
+        # modulated by the TIME EMBEDDING itself (t_emb, [B, dim] broadcast to
+        # both rows), not by the per-block 6-way projection — this matches the
+        # pretrained Wan2.1 weights (diffusers WanTransformer3DModel forward:
+        # shift, scale = (scale_shift_table + temb.unsqueeze(1)).chunk(2)).
         table = self.param(
             "head_scale_shift", nn.initializers.normal(0.02), (1, 2, self.dim)
         )
-        mod = (table + t_mod[:, :2].astype(jnp.float32))
+        mod = (table + t_emb[:, None].astype(jnp.float32))
         shift, scale = mod[:, 0][:, None].astype(self.dtype), mod[:, 1][:, None].astype(self.dtype)
         x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype,
                          name="norm_out")(x)

@@ -34,6 +34,7 @@ from .wansynth_common import (
     add_wansynth_data_args,
     build_wan,
     init_wan_trainables,
+    load_pretrained_into,
     make_wansynth_loader,
     merged_wan_params,
 )
@@ -106,6 +107,7 @@ def main(argv=None):
             jnp.zeros((1, 8, args.text_dim)), None,
             jnp.zeros((1, T, args.text_dim)),
         )["params"]
+        wan_params = load_pretrained_into(wan_params, args)
         trainable, fc_module, base = init_wan_trainables(k_tr, args, wan_params, bool(args.bf16))
         print(f"wan params: {sum(x.size for x in jax.tree_util.tree_leaves(wan_params))/1e6:.1f}M "
               f"| trainable: {sum(x.size for x in jax.tree_util.tree_leaves(trainable))/1e6:.3f}M")

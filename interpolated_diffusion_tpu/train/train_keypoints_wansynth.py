@@ -37,6 +37,7 @@ from .wansynth_common import (
     add_wansynth_data_args,
     build_wan,
     init_wan_trainables,
+    load_pretrained_into,
     make_wansynth_loader,
     meanpool_between_anchors,
     merged_wan_params,
@@ -114,6 +115,7 @@ def main(argv=None):
             jnp.zeros((1, L_in), jnp.int32) if mode != "full" else None,
             jnp.zeros((1, L_in, args.text_dim)) if args.frame_cond else None,
         )["params"]
+        wan_params = load_pretrained_into(wan_params, args)
         trainable, fc_module, base = init_wan_trainables(k_tr, args, wan_params, bool(args.bf16))
         n_base = sum(x.size for x in jax.tree_util.tree_leaves(wan_params))
         n_train = sum(x.size for x in jax.tree_util.tree_leaves(trainable))

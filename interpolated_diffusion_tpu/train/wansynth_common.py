@@ -58,6 +58,11 @@ def add_wan_model_args(p: argparse.ArgumentParser) -> None:
                         "compiled block, bwd activation memory bounded to "
                         "one block (fits Phase-1 full mode in 16 GB); "
                         "loop: unrolled block_{i} params (reference-like)")
+    p.add_argument("--wan_pretrained", type=str, default=None,
+                   help="path to a diffusers Wan2.1 transformer checkpoint "
+                        "(directory of .safetensors or one file); converted "
+                        "host-side into the frozen base (reference "
+                        "wan_backbone.py from_pretrained equivalent)")
     p.add_argument("--frame_cond", type=int, default=1)
     p.add_argument("--frame_cond_dim", type=int, default=5)
     p.add_argument("--patch_size", type=int, default=2)
@@ -100,6 +105,34 @@ def build_wan(args, bf16: bool = True) -> WanDiT:
         layer_mode=str(getattr(args, "layer_mode", "loop")),
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
+
+
+def load_pretrained_into(wan_params: Dict, args) -> Dict:
+    """Overwrite the base weights of an initialized WanDiT param tree with a
+    converted pretrained checkpoint (--wan_pretrained). LoRA leaves and any
+    params absent from the checkpoint keep their init values; every
+    checkpoint leaf must match an existing path + shape."""
+    if not getattr(args, "wan_pretrained", None):
+        return wan_params
+    from ..models.wan_convert import load_wan_safetensors
+
+    pre = load_wan_safetensors(
+        args.wan_pretrained, layer_mode=str(getattr(args, "layer_mode", "loop"))
+    )
+    flat = dict(traverse_util.flatten_dict(wan_params))
+    n_loaded = 0
+    for k, v in traverse_util.flatten_dict(pre).items():
+        if k not in flat:
+            raise ValueError(f"pretrained param {'/'.join(k)} not in model")
+        if tuple(flat[k].shape) != tuple(v.shape):
+            raise ValueError(
+                f"shape mismatch at {'/'.join(k)}: model {flat[k].shape} "
+                f"vs checkpoint {v.shape}"
+            )
+        flat[k] = jnp.asarray(v, dtype=flat[k].dtype)
+        n_loaded += 1
+    print(f"loaded {n_loaded} pretrained tensors from {args.wan_pretrained}")
+    return traverse_util.unflatten_dict(flat)
 
 
 _LORA_LEAVES = ("lora_A", "lora_B")
