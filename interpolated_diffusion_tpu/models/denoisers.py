@@ -93,7 +93,12 @@ class KeypointDenoiser(nn.Module):
         t_emb = nn.Dense(self.d_model, dtype=self.dtype, name="t_fc2")(t_emb)
         h = h + t_emb[:, None, :]
 
-        if cond is not None and "occ" in cond:
+        if cond is not None and "cond_vec" in cond:
+            # precomputed conditioning vector (samplers hoist the maze CNN
+            # out of the DDIM lax.scan — one encoder pass instead of one per
+            # diffusion step; see sample/generate.py hoist_cond_vec)
+            cond_vec = cond["cond_vec"].astype(self.dtype)
+        elif cond is not None and "occ" in cond:
             cond_vec = MazeConditionEncoder(
                 use_sdf=self.use_sdf,
                 d_cond=self.d_cond,
@@ -177,7 +182,9 @@ class InterpLevelDenoiser(nn.Module):
         lvl = nn.Dense(self.d_model, dtype=self.dtype, name="lvl_fc2")(lvl)
         h = h + lvl[:, None, :]
 
-        if cond is not None and "occ" in cond:
+        if cond is not None and "cond_vec" in cond:
+            cond_vec = cond["cond_vec"].astype(self.dtype)
+        elif cond is not None and "occ" in cond:
             cond_vec = MazeConditionEncoder(
                 use_sdf=self.use_sdf,
                 d_cond=self.d_cond,

@@ -216,14 +216,40 @@ def make_pipeline(
                  z_override: Optional[jnp.ndarray] = None,
                  selector_logits: Optional[jnp.ndarray] = None):
         k1, k2 = jax.random.split(key)
-        z_pred = stage1(kp_params, k1, idx, cond) if z_override is None else z_override
+        # hoist the maze-CNN conditioning out of the diffusion scans: ONE
+        # encoder pass per model instead of one per DDIM/level step (the
+        # scan body is opaque to XLA, so it cannot do this hoist itself)
+        kp_cond = hoist_cond_vec(kp_model, kp_params, cond)
+        it_cond = hoist_cond_vec(interp_model, interp_params, cond)
+        z_pred = (stage1(kp_params, k1, idx, kp_cond)
+                  if z_override is None else z_override)
         x_interp = interpolate_from_indices(
             idx, z_pred, T, recompute_velocity=cfg.recompute_vel
         )
-        x_refined = stage2(interp_params, k2, x_interp, idx, cond, selector_logits)
+        x_refined = stage2(interp_params, k2, x_interp, idx, it_cond,
+                           selector_logits)
         return x_interp, x_refined, z_pred
 
     return pipeline
+
+
+def hoist_cond_vec(model, params, cond):
+    """Precompute a denoiser's MazeConditionEncoder output once, returning a
+    cond dict with `cond_vec` set (the denoisers skip their in-scan encoder
+    when it is present). No-op when there is nothing to encode."""
+    if cond is None or "occ" not in cond or "cond_enc" not in params:
+        return cond
+    from ..models.encoders import MazeConditionEncoder
+
+    enc = MazeConditionEncoder(
+        use_sdf=model.use_sdf, d_cond=model.d_cond,
+        use_start_goal=model.use_start_goal,
+        maze_channels=model.maze_channels, dtype=model.dtype,
+    )
+    vec = enc.apply({"params": params["cond_enc"]}, cond)
+    out = dict(cond)
+    out["cond_vec"] = vec
+    return out
 
 
 # ---------------------------------------------------------------------------
