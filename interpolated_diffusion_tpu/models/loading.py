@@ -19,6 +19,10 @@ from .denoisers import InterpLevelDenoiser, KeypointDenoiser
 from .selector import KeypointSelector, SegmentCostPredictor
 
 
+def _is_torch_ckpt(path: str) -> bool:
+    return os.path.isfile(path) and path.endswith((".pt", ".pth"))
+
+
 def resolve_ckpt(path: str) -> str:
     if os.path.exists(os.path.join(path, "meta.json")):
         return path
@@ -33,6 +37,11 @@ def _maze_ch(meta) -> Tuple[int, ...]:
 
 
 def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
+    if _is_torch_ckpt(path):
+        # a reference PyTorch checkpoint: convert weights + meta on the fly
+        from .torch_import import load_reference_denoiser
+
+        return load_reference_denoiser(path, "keypoint", bf16=bf16, use_ema=use_ema)
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "keypoints":
@@ -62,6 +71,19 @@ def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
 
 
 def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
+    if _is_torch_ckpt(path):
+        from .torch_import import load_reference_denoiser
+
+        meta_kind = "interp"
+        try:
+            import torch
+
+            pay = torch.load(path, map_location="cpu", weights_only=False)
+            if isinstance(pay, dict) and pay.get("meta", {}).get("causal"):
+                meta_kind = "interp_causal"
+        except Exception:
+            pass
+        return load_reference_denoiser(path, meta_kind, bf16=bf16, use_ema=use_ema)
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "interp_levels":

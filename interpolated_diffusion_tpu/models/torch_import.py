@@ -1,0 +1,266 @@
+"""Import reference PyTorch checkpoints into the TPU framework.
+
+Converts torch ``state_dict``s of the reference models (KeypointDenoiser,
+src/models/denoiser_keypoints.py:37; InterpLevelDenoiser,
+src/models/denoiser_interp_levels.py:11, and its causal variant) into flax
+param pytrees for the modules in models/denoisers.py — so a user of the
+reference can bring their trained maze checkpoints along when switching.
+
+Layout notes (torch → flax):
+  - nn.Linear weight [out, in]            → Dense kernel [in, out] (transpose)
+  - nn.Conv2d weight [out, in, kh, kw]    → nn.Conv kernel [kh, kw, in, out]
+  - nn.MultiheadAttention in_proj_weight [3d, d] packs rows as [q; k; v] and
+    splits each d into H×Dh head chunks — identical to our fused qkv Dense
+    reshape [B,L,3,H,Dh], so a plain transpose suffices
+  - nn.Embedding weight                   → Embed embedding (no transpose)
+  - FiLM Linear(cond, 2d) chunks γ/β in halves on both sides (same order)
+
+Everything here is host-side numpy; torch is only needed when reading a
+.pt file directly (`load_reference_checkpoint`), not for conversion.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+Array = np.ndarray
+Params = Dict[str, Any]
+
+
+def _np(v) -> Array:
+    if isinstance(v, np.ndarray):
+        return v
+    # torch tensor (possibly bf16) without importing torch at module scope
+    try:
+        return v.detach().cpu().float().numpy()
+    except AttributeError:
+        return np.asarray(v)
+
+
+def _linear(sd: Dict[str, Array], prefix: str) -> Params:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd: Dict[str, Array], prefix: str) -> Params:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _conv(sd: Dict[str, Array], prefix: str) -> Params:
+    # [out, in, kh, kw] -> [kh, kw, in, out]
+    return {
+        "kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _transformer(sd: Dict[str, Array], prefix: str, n_layers: int,
+                 use_film: bool) -> Params:
+    out: Params = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layers.{i}"
+        block: Params = {
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "qkv": {
+                "kernel": _np(sd[f"{p}.attn.in_proj_weight"]).T,
+                "bias": _np(sd[f"{p}.attn.in_proj_bias"]),
+            },
+            "attn_out": _linear(sd, f"{p}.attn.out_proj"),
+            "ff1": _linear(sd, f"{p}.ff.0"),
+            "ff2": _linear(sd, f"{p}.ff.2"),
+        }
+        if use_film and f"{p}.film1.weight" in sd:
+            block["film1"] = _linear(sd, f"{p}.film1")
+            block["film2"] = _linear(sd, f"{p}.film2")
+        out[f"block_{i}"] = block
+    return out
+
+
+def _maze_condition_encoder(sd: Dict[str, Array], prefix: str) -> Optional[Params]:
+    """cond_enc.maze.convs.{0,2,4..} + cond_enc.maze.fc (+ cond_enc.sg.mlp)."""
+    conv_ids = sorted(
+        int(k[len(f"{prefix}.maze.convs.") :].split(".")[0])
+        for k in sd
+        if k.startswith(f"{prefix}.maze.convs.") and k.endswith(".weight")
+    )
+    if not conv_ids:
+        return None
+    maze: Params = {
+        f"conv_{n}": _conv(sd, f"{prefix}.maze.convs.{cid}")
+        for n, cid in enumerate(conv_ids)
+    }
+    maze["fc"] = _linear(sd, f"{prefix}.maze.fc")
+    out: Params = {"maze": maze}
+    if f"{prefix}.sg.mlp.0.weight" in sd:
+        out["sg"] = {
+            "fc1": _linear(sd, f"{prefix}.sg.mlp.0"),
+            "fc2": _linear(sd, f"{prefix}.sg.mlp.2"),
+        }
+    return out
+
+
+def _n_layers(sd: Dict[str, Array], prefix: str) -> int:
+    ids = {
+        int(k[len(f"{prefix}.layers.") :].split(".")[0])
+        for k in sd
+        if k.startswith(f"{prefix}.layers.")
+    }
+    return max(ids) + 1 if ids else 0
+
+
+def convert_keypoint_denoiser(sd: Dict[str, Array]) -> Params:
+    """Reference KeypointDenoiser state_dict → flax params for
+    models.denoisers.KeypointDenoiser."""
+    params: Params = {
+        "in_proj": _linear(sd, "in_proj"),
+        "t_fc1": _linear(sd, "t_embed.0"),
+        "t_fc2": _linear(sd, "t_embed.2"),
+        "cond_proj": _linear(sd, "cond_proj"),
+        "out": _linear(sd, "out"),
+        "transformer": _transformer(sd, "transformer",
+                                    _n_layers(sd, "transformer"), use_film=True),
+    }
+    enc = _maze_condition_encoder(sd, "cond_enc")
+    if enc is not None:
+        params["cond_enc"] = enc
+    return params
+
+
+def convert_interp_denoiser(sd: Dict[str, Array]) -> Params:
+    """Reference InterpLevelDenoiser (or causal variant) state_dict → flax
+    params for models.denoisers.InterpLevelDenoiser."""
+    params: Params = {
+        "in_proj": _linear(sd, "in_proj"),
+        "level_emb": {"embedding": _np(sd["level_emb.weight"])},
+        "lvl_fc1": _linear(sd, "level_proj.0"),
+        "lvl_fc2": _linear(sd, "level_proj.2"),
+        "cond_proj": _linear(sd, "cond_proj"),
+        "out": _linear(sd, "out"),
+        "transformer": _transformer(sd, "transformer",
+                                    _n_layers(sd, "transformer"), use_film=True),
+    }
+    enc = _maze_condition_encoder(sd, "cond_enc")
+    if enc is not None:
+        params["cond_enc"] = enc
+    return params
+
+
+_CONVERTERS = {
+    "keypoint": convert_keypoint_denoiser,
+    "interp": convert_interp_denoiser,
+    "interp_causal": convert_interp_denoiser,
+}
+
+
+def convert_state_dict(sd: Dict[str, Array], kind: str) -> Params:
+    if kind not in _CONVERTERS:
+        raise ValueError(f"unknown model kind {kind!r}; one of {sorted(_CONVERTERS)}")
+    return _CONVERTERS[kind]({k: _np(v) for k, v in sd.items()})
+
+
+def load_reference_checkpoint(
+    path: str, kind: str, use_ema: bool = True
+) -> Tuple[Params, Dict[str, Any]]:
+    """Read a reference .pt checkpoint (payload {model, meta, ema?, ...},
+    utils/checkpoint.py:6) and convert to flax params. Returns (params, meta).
+
+    With use_ema, EMA shadow weights replace matching model entries (the
+    reference's samplers prefer EMA weights, sample_generate.py:710-733).
+    """
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = dict(payload["model"] if isinstance(payload, dict) and "model" in payload
+              else payload)
+    meta = payload.get("meta", {}) if isinstance(payload, dict) else {}
+    if use_ema and isinstance(payload, dict) and payload.get("ema"):
+        ema = payload["ema"]
+        shadow = ema.get("shadow", ema) if isinstance(ema, dict) else ema
+        for k, v in shadow.items():
+            if k in sd:
+                sd[k] = v
+    return convert_state_dict(sd, kind), meta
+
+
+def _ref_channels(meta: Dict[str, Any], key: str) -> Tuple[int, ...]:
+    raw = meta.get(key, "32,64")
+    if isinstance(raw, (list, tuple)):
+        return tuple(int(c) for c in raw)
+    return tuple(int(c) for c in str(raw).split(","))
+
+
+def load_reference_denoiser(path: str, kind: str, bf16: bool = True,
+                            use_ema: bool = True):
+    """Load a reference .pt checkpoint into a ready-to-run flax model.
+
+    kind: 'keypoint' | 'interp' | 'interp_causal'. Reads the reference meta
+    dict (kp_* / s2_* prefixed hyperparameters, train_keypoints.py:564-601 /
+    train_interp_levels.py:1181-1226), builds the matching flax module, and
+    returns (model, params, meta) with meta normalized to this framework's
+    key names so downstream meta-consumers work unchanged.
+    """
+    import jax.numpy as jnp
+
+    from .denoisers import InterpLevelDenoiser, KeypointDenoiser
+
+    params, meta = load_reference_checkpoint(path, kind, use_ema=use_ema)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    if kind == "keypoint":
+        if meta and meta.get("stage") not in (None, "keypoints"):
+            raise ValueError(f"{path} is not a reference Stage-1 checkpoint")
+        model = KeypointDenoiser(
+            d_model=int(meta.get("kp_d_model", 256)),
+            n_layers=int(meta.get("kp_n_layers", 8)),
+            n_heads=int(meta.get("kp_n_heads", 8)),
+            d_ff=int(meta.get("kp_d_ff", 1024)),
+            d_cond=int(meta.get("kp_d_cond", 128)),
+            use_sdf=bool(meta.get("use_sdf", False)),
+            use_start_goal=bool(meta.get("cond_start_goal",
+                                         meta.get("use_start_goal", True))),
+            data_dim=int(meta.get("data_dim", 2)),
+            kp_feat_dim=int(meta.get("kp_feat_dim", 0)),
+            maze_channels=_ref_channels(meta, "kp_maze_channels"),
+            dtype=dtype,
+        )
+        norm = dict(meta)
+        for ours, ref in [("d_model", "kp_d_model"), ("n_layers", "kp_n_layers"),
+                          ("n_heads", "kp_n_heads"), ("d_ff", "kp_d_ff"),
+                          ("d_cond", "kp_d_cond")]:
+            norm.setdefault(ours, meta.get(ref, None))
+        norm.setdefault("maze_channels",
+                        ",".join(str(c) for c in _ref_channels(meta, "kp_maze_channels")))
+        norm.setdefault("use_kp_feat", int(meta.get("kp_feat_dim", 0)) > 0)
+        return model, params, norm
+    if kind in ("interp", "interp_causal"):
+        if meta and meta.get("stage") not in (None, "interp_levels"):
+            raise ValueError(f"{path} is not a reference Stage-2 checkpoint")
+        model = InterpLevelDenoiser(
+            d_model=int(meta.get("s2_d_model", 256)),
+            n_layers=int(meta.get("s2_n_layers", 8)),
+            n_heads=int(meta.get("s2_n_heads", 8)),
+            d_ff=int(meta.get("s2_d_ff", 1024)),
+            d_cond=int(meta.get("s2_d_cond", 128)),
+            use_sdf=bool(meta.get("use_sdf", False)),
+            use_start_goal=bool(meta.get("cond_start_goal",
+                                         meta.get("use_start_goal", True))),
+            data_dim=int(meta.get("data_dim", 2)),
+            max_levels=max(8, int(meta.get("levels", 3))),
+            mask_channels=int(meta.get("mask_channels", 1)),
+            maze_channels=_ref_channels(meta, "s2_maze_channels"),
+            causal=kind == "interp_causal",
+            dtype=dtype,
+        )
+        norm = dict(meta)
+        for ours, ref in [("d_model", "s2_d_model"), ("n_layers", "s2_n_layers"),
+                          ("n_heads", "s2_n_heads"), ("d_ff", "s2_d_ff"),
+                          ("d_cond", "s2_d_cond")]:
+            norm.setdefault(ours, meta.get(ref, None))
+        norm.setdefault("maze_channels",
+                        ",".join(str(c) for c in _ref_channels(meta, "s2_maze_channels")))
+        return model, params, norm
+    raise ValueError(f"unknown kind {kind!r}")

@@ -238,3 +238,86 @@ for k, v in m.items():
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
 np.savez_compressed(OUT, **out)
 print(f"wrote {len(out)} arrays -> {os.path.abspath(OUT)}")
+
+# ---------------------------------------------------------------------------
+# Model-level goldens: reference denoiser state_dicts + forward outputs.
+# tests/test_torch_import.py converts these state_dicts with
+# models/torch_import.py and requires forward agreement — validating the
+# reference-checkpoint migration path end to end.
+# ---------------------------------------------------------------------------
+from src.models.denoiser_keypoints import KeypointDenoiser  # noqa: E402
+from src.models.denoiser_interp_levels import InterpLevelDenoiser  # noqa: E402
+from src.models.denoiser_interp_levels_causal import (  # noqa: E402
+    InterpLevelCausalDenoiser,
+)
+
+OUT_M = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                     "reference_models.npz")
+mout: dict[str, np.ndarray] = {}
+
+
+def msave(name, val):
+    if isinstance(val, torch.Tensor):
+        val = val.detach().cpu().numpy()
+    mout[name] = np.asarray(val)
+
+
+def dump_sd(model, prefix):
+    for k, v in model.state_dict().items():
+        msave(f"{prefix}/sd/{k}", v)
+
+
+torch.manual_seed(7)
+B_M, T_M, K_M, GRID = 3, 24, 6, 11
+KP_KW = dict(d_model=64, n_layers=2, n_heads=4, d_ff=128, d_cond=32,
+             use_start_goal=True, data_dim=2, kp_feat_dim=3,
+             maze_channels=(8, 16))
+kp_ref = KeypointDenoiser(**KP_KW).eval()
+dump_sd(kp_ref, "kp")
+
+z_t = rng.standard_normal((B_M, K_M, 2)).astype(np.float32)
+t_m = np.array([3, 50, 97], np.int64)
+idx_m = np.stack([np.sort(np.concatenate(
+    [[0, T_M - 1], rng.choice(np.arange(1, T_M - 1), K_M - 2, replace=False)]))
+    for _ in range(B_M)]).astype(np.int64)
+known_m = np.zeros((B_M, K_M, 2), bool)
+known_m[:, 0] = known_m[:, -1] = True
+occ_m = (rng.random((B_M, 1, GRID, GRID)) < 0.25).astype(np.float32)
+sg_m = rng.random((B_M, 4)).astype(np.float32)
+kpf_m = rng.standard_normal((B_M, K_M, 3)).astype(np.float32)
+for name, val in [("z_t", z_t), ("t", t_m), ("idx", idx_m), ("known", known_m),
+                  ("occ", occ_m), ("start_goal", sg_m), ("kp_feat", kpf_m)]:
+    msave(f"kp/in/{name}", val)
+with torch.no_grad():
+    eps_ref = kp_ref(t32(z_t), torch.from_numpy(t_m), torch.from_numpy(idx_m),
+                     torch.from_numpy(known_m),
+                     {"occ": t32(occ_m), "start_goal": t32(sg_m),
+                      "kp_feat": t32(kpf_m)}, T_M)
+msave("kp/out", eps_ref)
+
+IT_KW = dict(d_model=64, n_layers=2, n_heads=4, d_ff=128, d_cond=32,
+             use_start_goal=True, data_dim=2, max_levels=8, mask_channels=2,
+             maze_channels=(8, 16))
+it_ref = InterpLevelDenoiser(**IT_KW).eval()
+dump_sd(it_ref, "it")
+x_s = rng.standard_normal((B_M, T_M, 2)).astype(np.float32)
+s_m = np.array([1, 2, 3], np.int64)
+mask2 = (rng.random((B_M, T_M, 2)) < 0.3).astype(np.float32)
+for name, val in [("x_s", x_s), ("s", s_m), ("mask", mask2)]:
+    msave(f"it/in/{name}", val)
+with torch.no_grad():
+    d_ref = it_ref(t32(x_s), torch.from_numpy(s_m), t32(mask2),
+                   {"occ": t32(occ_m), "start_goal": t32(sg_m)})
+msave("it/out", d_ref)
+
+itc_ref = InterpLevelCausalDenoiser(**{**IT_KW, "mask_channels": 1}).eval()
+dump_sd(itc_ref, "itc")
+mask1 = (rng.random((B_M, T_M)) < 0.3).astype(np.float32)
+msave("itc/in/mask", mask1)
+with torch.no_grad():
+    dc_ref = itc_ref(t32(x_s), torch.from_numpy(s_m), t32(mask1),
+                     {"occ": t32(occ_m), "start_goal": t32(sg_m)})
+msave("itc/out", dc_ref)
+
+np.savez_compressed(OUT_M, **mout)
+print(f"wrote {len(mout)} arrays -> {os.path.abspath(OUT_M)}")

@@ -1,0 +1,137 @@
+"""Reference-checkpoint migration: torch state_dict → flax params parity.
+
+tests/golden/reference_models.npz holds state_dicts + forward outputs of the
+reference denoisers (recorded by scripts/make_golden_reference.py). These
+tests convert the state_dicts with models/torch_import.py, run the flax
+modules on the same inputs, and require forward agreement — proving a user
+can carry reference-trained checkpoints into this framework.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from interpolated_diffusion_tpu.models.denoisers import (
+    InterpLevelDenoiser,
+    KeypointDenoiser,
+)
+from interpolated_diffusion_tpu.models.torch_import import convert_state_dict
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "reference_models.npz")
+
+KP_KW = dict(d_model=64, n_layers=2, n_heads=4, d_ff=128, d_cond=32,
+             use_start_goal=True, data_dim=2, kp_feat_dim=3,
+             maze_channels=(8, 16))
+IT_KW = dict(d_model=64, n_layers=2, n_heads=4, d_ff=128, d_cond=32,
+             use_start_goal=True, data_dim=2, max_levels=8, mask_channels=2,
+             maze_channels=(8, 16))
+T_M = 24
+
+
+@pytest.fixture(scope="module")
+def g():
+    if not os.path.exists(GOLDEN):
+        pytest.skip("model golden file missing (run scripts/make_golden_reference.py)")
+    return np.load(GOLDEN)
+
+
+def sd_of(g, prefix):
+    p = f"{prefix}/sd/"
+    return {k[len(p):]: g[k] for k in g.files if k.startswith(p)}
+
+
+def test_keypoint_denoiser_import(g):
+    params = convert_state_dict(sd_of(g, "kp"), "keypoint")
+    model = KeypointDenoiser(**KP_KW)
+    eps = model.apply(
+        {"params": params},
+        jnp.asarray(g["kp/in/z_t"]), jnp.asarray(g["kp/in/t"]),
+        jnp.asarray(g["kp/in/idx"]), jnp.asarray(g["kp/in/known"]),
+        {"occ": jnp.asarray(g["kp/in/occ"]),
+         "start_goal": jnp.asarray(g["kp/in/start_goal"]),
+         "kp_feat": jnp.asarray(g["kp/in/kp_feat"])},
+        T_M,
+    )
+    np.testing.assert_allclose(np.asarray(eps), g["kp/out"], atol=2e-5, rtol=1e-4)
+
+
+def test_interp_denoiser_import(g):
+    params = convert_state_dict(sd_of(g, "it"), "interp")
+    model = InterpLevelDenoiser(**IT_KW)
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(g["it/in/x_s"]), jnp.asarray(g["it/in/s"]),
+        jnp.asarray(g["it/in/mask"]),
+        {"occ": jnp.asarray(g["kp/in/occ"]),
+         "start_goal": jnp.asarray(g["kp/in/start_goal"])},
+    )
+    np.testing.assert_allclose(np.asarray(out), g["it/out"], atol=2e-5, rtol=1e-4)
+
+
+def test_causal_interp_denoiser_import(g):
+    params = convert_state_dict(sd_of(g, "itc"), "interp_causal")
+    model = InterpLevelDenoiser(**{**IT_KW, "mask_channels": 1, "causal": True})
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(g["it/in/x_s"]), jnp.asarray(g["it/in/s"]),
+        jnp.asarray(g["itc/in/mask"]),
+        {"occ": jnp.asarray(g["kp/in/occ"]),
+         "start_goal": jnp.asarray(g["kp/in/start_goal"])},
+    )
+    np.testing.assert_allclose(np.asarray(out), g["itc/out"], atol=2e-5, rtol=1e-4)
+
+
+def test_converted_tree_matches_init_shapes(g):
+    """Converted pytree is structurally identical to a fresh init (so it can
+    be dropped into trainers/samplers/checkpoints unchanged)."""
+    import jax
+
+    params = convert_state_dict(sd_of(g, "kp"), "keypoint")
+    model = KeypointDenoiser(**KP_KW)
+    ref = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(g["kp/in/z_t"][:1]), jnp.asarray(g["kp/in/t"][:1]),
+        jnp.asarray(g["kp/in/idx"][:1]), jnp.asarray(g["kp/in/known"][:1]),
+        {"occ": jnp.asarray(g["kp/in/occ"][:1]),
+         "start_goal": jnp.asarray(g["kp/in/start_goal"][:1]),
+         "kp_feat": jnp.asarray(g["kp/in/kp_feat"][:1])},
+        T_M,
+    )["params"]
+    ref_shapes = jax.tree.map(lambda a: a.shape, ref)
+    got_shapes = jax.tree.map(lambda a: np.asarray(a).shape, params)
+    assert jax.tree.structure(ref_shapes) == jax.tree.structure(got_shapes)
+    assert jax.tree.leaves(ref_shapes) == jax.tree.leaves(got_shapes)
+
+
+def test_load_reference_pt_checkpoint(g, tmp_path):
+    """Full route: reference-style .pt payload on disk → load_keypoint_model
+    → forward parity (what a migrating user actually does)."""
+    torch = pytest.importorskip("torch")
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in sd_of(g, "kp").items()}
+    meta = {
+        "stage": "keypoints", "T": T_M, "K": 6, "data_dim": 2,
+        "N_train": 100, "schedule": "linear", "use_sdf": False,
+        "cond_start_goal": True, "clamp_endpoints": True,
+        "use_kp_feat": True, "kp_feat_dim": 3,
+        "kp_d_model": 64, "kp_n_layers": 2, "kp_n_heads": 4,
+        "kp_d_ff": 128, "kp_d_cond": 32, "kp_maze_channels": "8,16",
+    }
+    path = str(tmp_path / "ckpt_100.pt")
+    torch.save({"model": sd, "step": 100, "meta": meta}, path)
+
+    from interpolated_diffusion_tpu.models.loading import load_keypoint_model
+
+    model, params, norm = load_keypoint_model(path, bf16=False)
+    eps = model.apply(
+        {"params": params},
+        jnp.asarray(g["kp/in/z_t"]), jnp.asarray(g["kp/in/t"]),
+        jnp.asarray(g["kp/in/idx"]), jnp.asarray(g["kp/in/known"]),
+        {"occ": jnp.asarray(g["kp/in/occ"]),
+         "start_goal": jnp.asarray(g["kp/in/start_goal"]),
+         "kp_feat": jnp.asarray(g["kp/in/kp_feat"])},
+        T_M,
+    )
+    np.testing.assert_allclose(np.asarray(eps), g["kp/out"], atol=2e-5, rtol=1e-4)
+    assert norm["d_model"] == 64 and norm["maze_channels"] == "8,16"
