@@ -114,6 +114,10 @@ def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
 
 
 def load_selector_model(path: str, bf16: bool = True):
+    if _is_torch_ckpt(path):
+        from .torch_import import load_reference_selector
+
+        return load_reference_selector(path, bf16=bf16)
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "selector":
@@ -140,6 +144,10 @@ def load_selector_model(path: str, bf16: bool = True):
 
 
 def load_segment_cost_model(path: str, bf16: bool = True):
+    if _is_torch_ckpt(path):
+        from .torch_import import load_reference_segment_cost
+
+        return load_reference_segment_cost(path, bf16=bf16)
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "segment_cost":

@@ -264,3 +264,151 @@ def load_reference_denoiser(path: str, kind: str, bf16: bool = True,
                         ",".join(str(c) for c in _ref_channels(meta, "s2_maze_channels")))
         return model, params, norm
     raise ValueError(f"unknown kind {kind!r}")
+
+
+def _mlp2(sd: Dict[str, Array], prefix: str) -> Tuple[Params, Params]:
+    """nn.Sequential(Linear, SiLU, Linear) → (fc1, fc2)."""
+    return _linear(sd, f"{prefix}.0"), _linear(sd, f"{prefix}.2")
+
+
+def _cross_attn(sd: Dict[str, Array], prefix: str, n_heads: int) -> Params:
+    """torch nn.MultiheadAttention (cross) → flax MultiHeadDotProductAttention.
+
+    in_proj_weight [3d, d] rows pack [Wq; Wk; Wv]; flax keeps separate
+    query/key/value Denses with kernels [d, H, Dh] and an out Dense [H, Dh, d].
+    """
+    w = _np(sd[f"{prefix}.in_proj_weight"])
+    b = _np(sd[f"{prefix}.in_proj_bias"])
+    d = w.shape[1]
+    dh = d // n_heads
+    def qkv_part(i):
+        kern = w[i * d:(i + 1) * d].T.reshape(d, n_heads, dh)
+        bias = b[i * d:(i + 1) * d].reshape(n_heads, dh)
+        return {"kernel": kern, "bias": bias}
+    out_w = _np(sd[f"{prefix}.out_proj.weight"])  # [d, d]
+    return {
+        "query": qkv_part(0),
+        "key": qkv_part(1),
+        "value": qkv_part(2),
+        "out": {"kernel": out_w.T.reshape(n_heads, dh, d),
+                "bias": _np(sd[f"{prefix}.out_proj.bias"])},
+    }
+
+
+def convert_keypoint_selector(sd: Dict[str, Array], n_heads: int = 8) -> Params:
+    """Reference KeypointSelector state_dict (keypoint_selector.py:40) → flax
+    params for models.selector.KeypointSelector."""
+    params: Params = {}
+    conv_ids = sorted(
+        int(k[len("spatial_conv."):].split(".")[0])
+        for k in sd if k.startswith("spatial_conv.") and k.endswith(".weight")
+    )
+    for n, cid in enumerate(conv_ids):
+        params[f"conv_{n}"] = _conv(sd, f"spatial_conv.{cid}")
+    if "spatial_proj.weight" in sd:  # 1x1 Conv2d (absent when c_in == d_model)
+        params["proj"] = _conv(sd, "spatial_proj")
+    if "sg_token.0.weight" in sd:
+        params["sg_fc1"], params["sg_fc2"] = _mlp2(sd, "sg_token")
+    if "goal_dist_token.0.weight" in sd:
+        params["gd_fc1"], params["gd_fc2"] = _mlp2(sd, "goal_dist_token")
+    params["time_proj"] = _linear(sd, "time_proj")
+    if "level_mlp.0.weight" in sd:
+        params["lvl_fc1"], params["lvl_fc2"] = _mlp2(sd, "level_mlp")
+    if "cond_bias.0.weight" in sd:
+        params["bias_fc1"], params["bias_fc2"] = _mlp2(sd, "cond_bias")
+    enc = _maze_condition_encoder(sd, "cond_enc")
+    if enc is not None:
+        params["cond_enc"] = enc
+    block_ids = sorted({
+        int(k[len("blocks."):].split(".")[0]) for k in sd if k.startswith("blocks.")
+    })
+    for i in block_ids:
+        p = f"blocks.{i}"
+        params[f"block_{i}"] = {
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "attn": _cross_attn(sd, f"{p}.attn", n_heads),
+            "ff1": _linear(sd, f"{p}.ff.0"),
+            "ff2": _linear(sd, f"{p}.ff.2"),
+        }
+    params["out"] = _linear(sd, "out")
+    return params
+
+
+def convert_segment_cost(sd: Dict[str, Array]) -> Params:
+    """Reference SegmentCostPredictor (D_phi) state_dict → flax params for
+    models.selector.SegmentCostPredictor."""
+    params: Params = {"cond_enc": _maze_condition_encoder(sd, "cond_enc")}
+    lin_ids = sorted(
+        int(k[len("mlp."):].split(".")[0])
+        for k in sd if k.startswith("mlp.") and k.endswith(".weight")
+    )
+    for n, lid in enumerate(lin_ids[:-1]):
+        params[f"fc_{n}"] = _linear(sd, f"mlp.{lid}")
+    params["out"] = _linear(sd, f"mlp.{lin_ids[-1]}")
+    return params
+
+
+_CONVERTERS["selector"] = convert_keypoint_selector
+_CONVERTERS["segment_cost"] = convert_segment_cost
+
+
+def load_reference_selector(path: str, bf16: bool = True, use_ema: bool = True):
+    """Reference selector .pt → (flax KeypointSelector, params, meta).
+    Selector meta keys already match this framework's names
+    (train_keypoint_selector.py meta dict)."""
+    import jax.numpy as jnp
+
+    from .selector import KeypointSelector
+
+    _, meta = load_reference_checkpoint(path, "selector", use_ema=use_ema)
+    if meta and meta.get("stage") not in (None, "selector"):
+        raise ValueError(f"{path} is not a reference selector checkpoint")
+    n_heads = int(meta.get("n_heads", 8))
+    params, _ = load_reference_checkpoint(path, "selector", use_ema=use_ema)
+    if n_heads != 8:
+        # re-convert with the checkpoint's head count (attention head split)
+        import torch
+
+        payload = torch.load(path, map_location="cpu", weights_only=False)
+        sd = {k: _np(v) for k, v in payload["model"].items()}
+        params = convert_keypoint_selector(sd, n_heads=n_heads)
+    model = KeypointSelector(
+        T=int(meta.get("T", 64)), d_model=int(meta.get("d_model", 256)),
+        n_heads=n_heads, d_ff=int(meta.get("d_ff", 512)),
+        n_layers=int(meta.get("n_layers", 2)), pos_dim=int(meta.get("pos_dim", 64)),
+        use_sdf=bool(meta.get("use_sdf", False)),
+        use_start_goal=bool(meta.get("cond_start_goal", True)),
+        use_sg_map=bool(meta.get("use_sg_map", True)),
+        use_sg_token=bool(meta.get("use_sg_token", True)),
+        use_goal_dist_token=bool(meta.get("use_goal_dist_token", False)),
+        use_cond_bias=bool(meta.get("use_cond_bias", False)),
+        cond_bias_mode=str(meta.get("cond_bias_mode", "memory")),
+        use_level=bool(meta.get("use_level", False)),
+        sg_map_sigma=float(meta.get("sg_map_sigma", 1.5)),
+        maze_channels=_ref_channels(meta, "maze_channels"),
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
+    return model, params, dict(meta)
+
+
+def load_reference_segment_cost(path: str, bf16: bool = True, use_ema: bool = True):
+    """Reference D_phi .pt → (flax SegmentCostPredictor, params, meta)."""
+    import jax.numpy as jnp
+
+    from .selector import SegmentCostPredictor
+
+    params, meta = load_reference_checkpoint(path, "segment_cost", use_ema=use_ema)
+    if meta and meta.get("stage") not in (None, "segment_cost"):
+        raise ValueError(f"{path} is not a reference segment_cost checkpoint")
+    model = SegmentCostPredictor(
+        d_cond=int(meta.get("d_cond", 128)),
+        seg_feat_dim=int(meta.get("seg_feat_dim", 3)),
+        hidden_dim=int(meta.get("hidden_dim", 256)),
+        n_layers=int(meta.get("n_layers", 3)),
+        use_sdf=bool(meta.get("use_sdf", False)),
+        use_start_goal=bool(meta.get("cond_start_goal", True)),
+        maze_channels=_ref_channels(meta, "maze_channels"),
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
+    return model, params, dict(meta)

@@ -221,6 +221,25 @@ save("tok/tokens", tokens)
 save("tok/spatial", np.array([hp, wp], np.int64))
 save("tok/roundtrip", unpatchify_tokens(tokens, 2, (hp, wp)))
 
+# --- native-op ports (grid_sample / resize / pool / log-Sinkhorn) ----------
+import torch.nn.functional as F  # noqa: E402
+from src.models.sinkhorn_warp import _sinkhorn_log_batch  # noqa: E402
+
+img = rng.standard_normal((2, 3, 8, 10)).astype(np.float32)
+# grid in [-1.15, 1.15] exercises the border clamp
+grid = (rng.random((2, 5, 7, 2)).astype(np.float32) * 2.3) - 1.15
+save("img/x", img)
+save("img/grid", grid)
+save("img/grid_sample_border",
+     F.grid_sample(t32(img), t32(grid), mode="bilinear", padding_mode="border",
+                   align_corners=True))
+save("img/resize_up", F.interpolate(t32(img), size=(16, 20), mode="bilinear",
+                                    align_corners=False))
+save("img/avg_pool2", F.avg_pool2d(t32(img), 2))
+logits_sk = rng.standard_normal((3, 6, 6)).astype(np.float32) * 2.0
+save("sk/logits", logits_sk)
+save("sk/log_plan", _sinkhorn_log_batch(t32(logits_sk), 12))
+
 # --- eval metrics ----------------------------------------------------------
 occ = (rng.random((B, 8, 8)) < 0.2).astype(np.float32)
 occ[:, 0, :] = occ[:, -1, :] = occ[:, :, 0] = occ[:, :, -1] = 0.0
@@ -318,6 +337,33 @@ with torch.no_grad():
     dc_ref = itc_ref(t32(x_s), torch.from_numpy(s_m), t32(mask1),
                      {"occ": t32(occ_m), "start_goal": t32(sg_m)})
 msave("itc/out", dc_ref)
+
+from src.models.keypoint_selector import KeypointSelector  # noqa: E402
+from src.models.segment_cost import SegmentCostPredictor  # noqa: E402
+
+SEL_KW = dict(T=T_M, d_model=32, n_heads=4, d_ff=64, n_layers=2, pos_dim=16,
+              use_sdf=False, use_start_goal=True, use_sg_map=True,
+              use_sg_token=True, use_goal_dist_token=True, use_cond_bias=True,
+              cond_bias_mode="memory", use_level=True, sg_map_sigma=1.5,
+              maze_channels=(8, 16))
+sel_ref = KeypointSelector(**SEL_KW).eval()
+dump_sd(sel_ref, "sel")
+lvl_m = np.array([[1.0], [2.0], [0.0]], np.float32)
+msave("sel/in/level", lvl_m)
+with torch.no_grad():
+    logits_ref = sel_ref({"occ": t32(occ_m), "start_goal": t32(sg_m),
+                          "level": t32(lvl_m)})
+msave("sel/out", logits_ref)
+
+DPHI_KW = dict(d_cond=32, seg_feat_dim=3, hidden_dim=48, n_layers=3,
+               use_sdf=False, use_start_goal=True, maze_channels=(8, 16))
+dphi_ref = SegmentCostPredictor(**DPHI_KW).eval()
+dump_sd(dphi_ref, "dphi")
+segf_m = rng.random((B_M, 10, 3)).astype(np.float32)
+msave("dphi/in/seg_feat", segf_m)
+with torch.no_grad():
+    cost_ref = dphi_ref({"occ": t32(occ_m), "start_goal": t32(sg_m)}, t32(segf_m))
+msave("dphi/out", cost_ref)
 
 np.savez_compressed(OUT_M, **mout)
 print(f"wrote {len(mout)} arrays -> {os.path.abspath(OUT_M)}")

@@ -217,3 +217,25 @@ def test_metrics(g):
     for k in ("collision_rate", "goal_dist", "success", "path_length",
               "smoothness", "mse_to_gt"):
         close(m[k], g[f"metrics/{k}"], atol=1e-5, rtol=1e-4)
+
+
+def test_grid_sample_parity(g):
+    from interpolated_diffusion_tpu.ops.image import grid_sample_bilinear
+
+    out = grid_sample_bilinear(jnp.asarray(g["img/x"]), jnp.asarray(g["img/grid"]))
+    close(out, g["img/grid_sample_border"], atol=1e-5)
+
+
+def test_resize_and_pool_parity(g):
+    from interpolated_diffusion_tpu.ops.image import avg_pool2d, resize_bilinear
+
+    close(resize_bilinear(jnp.asarray(g["img/x"]), (16, 20)), g["img/resize_up"],
+          atol=1e-5)
+    close(avg_pool2d(jnp.asarray(g["img/x"]), 2), g["img/avg_pool2"], atol=1e-6)
+
+
+def test_sinkhorn_log_parity(g):
+    from interpolated_diffusion_tpu.models.sinkhorn_warp import sinkhorn_log
+
+    out = sinkhorn_log(jnp.asarray(g["sk/logits"]), 12)
+    close(out, g["sk/log_plan"], atol=1e-5)

@@ -135,3 +135,75 @@ def test_load_reference_pt_checkpoint(g, tmp_path):
     )
     np.testing.assert_allclose(np.asarray(eps), g["kp/out"], atol=2e-5, rtol=1e-4)
     assert norm["d_model"] == 64 and norm["maze_channels"] == "8,16"
+
+
+SEL_KW = dict(T=T_M, d_model=32, n_heads=4, d_ff=64, n_layers=2, pos_dim=16,
+              use_sdf=False, use_start_goal=True, use_sg_map=True,
+              use_sg_token=True, use_goal_dist_token=True, use_cond_bias=True,
+              cond_bias_mode="memory", use_level=True, sg_map_sigma=1.5,
+              maze_channels=(8, 16))
+
+
+def test_keypoint_selector_import(g):
+    from interpolated_diffusion_tpu.models.selector import KeypointSelector
+    from interpolated_diffusion_tpu.models.torch_import import convert_keypoint_selector
+
+    params = convert_keypoint_selector(sd_of(g, "sel"), n_heads=4)
+    model = KeypointSelector(**SEL_KW)
+    logits = model.apply(
+        {"params": params},
+        {"occ": jnp.asarray(g["kp/in/occ"]),
+         "start_goal": jnp.asarray(g["kp/in/start_goal"]),
+         "level": jnp.asarray(g["sel/in/level"])},
+    )
+    np.testing.assert_allclose(np.asarray(logits), g["sel/out"], atol=3e-5, rtol=1e-4)
+
+
+def test_segment_cost_import(g):
+    from interpolated_diffusion_tpu.models.selector import SegmentCostPredictor
+    from interpolated_diffusion_tpu.models.torch_import import convert_segment_cost
+
+    params = convert_segment_cost(sd_of(g, "dphi"))
+    model = SegmentCostPredictor(d_cond=32, seg_feat_dim=3, hidden_dim=48,
+                                 n_layers=3, use_sdf=False, use_start_goal=True,
+                                 maze_channels=(8, 16))
+    cost = model.apply(
+        {"params": params},
+        {"occ": jnp.asarray(g["kp/in/occ"]),
+         "start_goal": jnp.asarray(g["kp/in/start_goal"])},
+        jnp.asarray(g["dphi/in/seg_feat"]),
+    )
+    np.testing.assert_allclose(np.asarray(cost), g["dphi/out"], atol=3e-5, rtol=1e-4)
+
+
+def test_import_cli_roundtrip(g, tmp_path):
+    """scripts/import_reference_ckpt.py: .pt → native checkpoint dir →
+    load_keypoint_model (no torch at load time) → forward parity."""
+    torch = pytest.importorskip("torch")
+    import scripts.import_reference_ckpt as cli
+
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in sd_of(g, "kp").items()}
+    meta = {"stage": "keypoints", "T": T_M, "K": 6, "data_dim": 2,
+            "N_train": 100, "schedule": "linear", "use_sdf": False,
+            "cond_start_goal": True, "use_kp_feat": True, "kp_feat_dim": 3,
+            "kp_d_model": 64, "kp_n_layers": 2, "kp_n_heads": 4,
+            "kp_d_ff": 128, "kp_d_cond": 32, "kp_maze_channels": "8,16"}
+    src = str(tmp_path / "ref.pt")
+    out = str(tmp_path / "imported")
+    torch.save({"model": sd, "step": 5, "meta": meta}, src)
+    cli.main(["--src", src, "--kind", "keypoint", "--out", out,
+              "--maze_h", "11", "--maze_w", "11"])
+
+    from interpolated_diffusion_tpu.models.loading import load_keypoint_model
+
+    model, params, _ = load_keypoint_model(out, bf16=False)
+    eps = model.apply(
+        {"params": params},
+        jnp.asarray(g["kp/in/z_t"]), jnp.asarray(g["kp/in/t"]),
+        jnp.asarray(g["kp/in/idx"]), jnp.asarray(g["kp/in/known"]),
+        {"occ": jnp.asarray(g["kp/in/occ"]),
+         "start_goal": jnp.asarray(g["kp/in/start_goal"]),
+         "kp_feat": jnp.asarray(g["kp/in/kp_feat"])},
+        T_M,
+    )
+    np.testing.assert_allclose(np.asarray(eps), g["kp/out"], atol=2e-5, rtol=1e-4)
