@@ -412,3 +412,50 @@ def load_reference_segment_cost(path: str, bf16: bool = True, use_ema: bool = Tr
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
     return model, params, dict(meta)
+
+
+def _video_cond_encoder(sd: Dict[str, Array]) -> Params:
+    """Video denoisers take either a TextConditionEncoder (cond_enc.proj.0/2,
+    encoders.py:74 — mapped to our text_enc.fc1/fc2) or the maze encoder."""
+    if "cond_enc.proj.0.weight" in sd:
+        return {"text_enc": {"fc1": _linear(sd, "cond_enc.proj.0"),
+                             "fc2": _linear(sd, "cond_enc.proj.2")}}
+    enc = _maze_condition_encoder(sd, "cond_enc")
+    return {"cond_enc": enc} if enc is not None else {}
+
+
+def convert_video_keypoint_denoiser(sd: Dict[str, Array]) -> Params:
+    """Reference VideoTokenKeypointDenoiser (video_token_denoisers.py:56) →
+    flax params for models.video_denoisers.VideoTokenKeypointDenoiser."""
+    params: Params = {
+        "in_proj": _linear(sd, "in_proj"),
+        "t_fc1": _linear(sd, "t_embed.0"),
+        "t_fc2": _linear(sd, "t_embed.2"),
+        "cond_proj": _linear(sd, "cond_proj"),
+        "out": _linear(sd, "out"),
+        "transformer": _transformer(sd, "transformer",
+                                    _n_layers(sd, "transformer"), use_film=True),
+    }
+    params.update(_video_cond_encoder(sd))
+    return params
+
+
+def convert_video_interp_denoiser(sd: Dict[str, Array]) -> Params:
+    """Reference VideoTokenInterpLevelDenoiser (video_token_denoisers.py:129) →
+    flax params for models.video_denoisers.VideoTokenInterpLevelDenoiser."""
+    params: Params = {
+        "in_proj": _linear(sd, "in_proj"),
+        "level_emb": {"embedding": _np(sd["level_emb.weight"])},
+        "lvl_fc1": _linear(sd, "level_proj.0"),
+        "lvl_fc2": _linear(sd, "level_proj.2"),
+        "cond_proj": _linear(sd, "cond_proj"),
+        "out": _linear(sd, "out"),
+        "transformer": _transformer(sd, "transformer",
+                                    _n_layers(sd, "transformer"), use_film=True),
+    }
+    params.update(_video_cond_encoder(sd))
+    return params
+
+
+_CONVERTERS["video_keypoint"] = convert_video_keypoint_denoiser
+_CONVERTERS["video_interp"] = convert_video_interp_denoiser

@@ -365,5 +365,44 @@ with torch.no_grad():
     cost_ref = dphi_ref({"occ": t32(occ_m), "start_goal": t32(sg_m)}, t32(segf_m))
 msave("dphi/out", cost_ref)
 
+from src.models.video_token_denoisers import (  # noqa: E402
+    VideoTokenInterpLevelDenoiser,
+    VideoTokenKeypointDenoiser,
+)
+from src.models.encoders import TextConditionEncoder  # noqa: E402
+
+VK_KW = dict(d_model=48, n_layers=2, n_heads=4, d_ff=96, d_cond=24, data_dim=20)
+TEXT_DIM = 32
+vk_ref = VideoTokenKeypointDenoiser(
+    cond_encoder=TextConditionEncoder(text_dim=TEXT_DIM, d_cond=24), **VK_KW).eval()
+dump_sd(vk_ref, "vk")
+T_V, K_V, HP, WP = 10, 4, 2, 3
+N_V = HP * WP
+zv = rng.standard_normal((B_M, K_V, N_V, 20)).astype(np.float32)
+tv = np.array([5, 40, 90], np.int64)
+idx_v = np.stack([np.sort(rng.choice(np.arange(T_V), K_V, replace=False))
+                  for _ in range(B_M)]).astype(np.int64)
+text_v = rng.standard_normal((B_M, 7, TEXT_DIM)).astype(np.float32)
+for name, val in [("z", zv), ("t", tv), ("idx", idx_v), ("text", text_v)]:
+    msave(f"vk/in/{name}", val)
+with torch.no_grad():
+    vk_out = vk_ref(t32(zv), torch.from_numpy(tv), torch.from_numpy(idx_v),
+                    {"text_embed": t32(text_v)}, T_V, (HP, WP))
+msave("vk/out", vk_out)
+
+vi_ref = VideoTokenInterpLevelDenoiser(
+    cond_encoder=TextConditionEncoder(text_dim=TEXT_DIM, d_cond=24),
+    mask_channels=2, max_levels=8, **VK_KW).eval()
+dump_sd(vi_ref, "vi")
+xv = rng.standard_normal((B_M, T_V, N_V, 20)).astype(np.float32)
+sv = np.array([1, 3, 2], np.int64)
+maskv = (rng.random((B_M, T_V, N_V, 2)) < 0.4).astype(np.float32)
+for name, val in [("x", xv), ("s", sv), ("mask", maskv)]:
+    msave(f"vi/in/{name}", val)
+with torch.no_grad():
+    vi_out = vi_ref(t32(xv), torch.from_numpy(sv), t32(maskv),
+                    {"text_embed": t32(text_v)}, (HP, WP))
+msave("vi/out", vi_out)
+
 np.savez_compressed(OUT_M, **mout)
 print(f"wrote {len(mout)} arrays -> {os.path.abspath(OUT_M)}")

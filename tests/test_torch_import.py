@@ -207,3 +207,36 @@ def test_import_cli_roundtrip(g, tmp_path):
         T_M,
     )
     np.testing.assert_allclose(np.asarray(eps), g["kp/out"], atol=2e-5, rtol=1e-4)
+
+
+def test_video_keypoint_denoiser_import(g):
+    from interpolated_diffusion_tpu.models.video_denoisers import VideoTokenKeypointDenoiser
+    from interpolated_diffusion_tpu.models.torch_import import convert_video_keypoint_denoiser
+
+    params = convert_video_keypoint_denoiser(sd_of(g, "vk"))
+    model = VideoTokenKeypointDenoiser(d_model=48, n_layers=2, n_heads=4,
+                                       d_ff=96, d_cond=24, data_dim=20)
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(g["vk/in/z"]), jnp.asarray(g["vk/in/t"]),
+        jnp.asarray(g["vk/in/idx"]), {"text_embed": jnp.asarray(g["vk/in/text"])},
+        10, (2, 3),
+    )
+    np.testing.assert_allclose(np.asarray(out), g["vk/out"], atol=3e-5, rtol=1e-4)
+
+
+def test_video_interp_denoiser_import(g):
+    from interpolated_diffusion_tpu.models.video_denoisers import VideoTokenInterpLevelDenoiser
+    from interpolated_diffusion_tpu.models.torch_import import convert_video_interp_denoiser
+
+    params = convert_video_interp_denoiser(sd_of(g, "vi"))
+    model = VideoTokenInterpLevelDenoiser(d_model=48, n_layers=2, n_heads=4,
+                                          d_ff=96, d_cond=24, data_dim=20,
+                                          mask_channels=2, max_levels=8)
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(g["vi/in/x"]), jnp.asarray(g["vi/in/s"]),
+        jnp.asarray(g["vi/in/mask"]), {"text_embed": jnp.asarray(g["vk/in/text"])},
+        (2, 3),
+    )
+    np.testing.assert_allclose(np.asarray(out), g["vi/out"], atol=3e-5, rtol=1e-4)
