@@ -54,7 +54,14 @@ def get_block_map(
 
 
 def _linear_attention(q, k, v, feature_map: str) -> jnp.ndarray:
-    """Global low-rank branch: φ(q)(φ(k)ᵀv) / (φ(q)·Σφ(k))."""
+    """Global low-rank branch: φ(q)(φ(k)ᵀv) / (φ(q)·Σφ(k)).
+
+    Computed in the inputs' dtype (bf16 on TPU) with f32 accumulation in the
+    contractions — matching the reference, which runs this branch in model
+    dtype under autocast (SLA/core.py:104-114). Keeping the activations bf16
+    also halves the AD-saved residuals at Wan scale (3 × [BH, L, D] per
+    layer; f32 versions showed up as 2.7 GB/layer buffers in HBM dumps).
+    """
     if feature_map == "softmax":
         fq, fk = jax.nn.softmax(q, axis=-1), jax.nn.softmax(k, axis=-1)
     elif feature_map == "elu":
@@ -63,10 +70,13 @@ def _linear_attention(q, k, v, feature_map: str) -> jnp.ndarray:
         fq, fk = jax.nn.relu(q), jax.nn.relu(k)
     else:
         raise NotImplementedError(f"feature map {feature_map}")
-    kv = jnp.einsum("bld,ble->bde", fk, v)
+    kv = jnp.einsum("bld,ble->bde", fk, v,
+                    preferred_element_type=jnp.float32).astype(q.dtype)
     ksum = fk.sum(axis=-2)                                  # [BH, D]
-    num = jnp.einsum("bld,bde->ble", fq, kv)
-    den = jnp.einsum("bld,bd->bl", fq, ksum)[..., None] + 1e-5
+    num = jnp.einsum("bld,bde->ble", fq, kv,
+                     preferred_element_type=jnp.float32)
+    den = jnp.einsum("bld,bd->bl", fq, ksum,
+                     preferred_element_type=jnp.float32)[..., None] + 1e-5
     return num / den
 
 
@@ -115,8 +125,8 @@ class SparseLinearAttention(nn.Module):
                 lut, self.block_q, self.block_k, None, self.impl, self.bwd_impl,
             )
         o_l = _linear_attention(
-            qf.astype(jnp.float32), kf.astype(jnp.float32), vf.astype(jnp.float32),
-            self.feature_map,
+            qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
+            vf.astype(jnp.bfloat16), self.feature_map,
         )
         proj = nn.Dense(
             D, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
