@@ -459,3 +459,30 @@ def convert_video_interp_denoiser(sd: Dict[str, Array]) -> Params:
 
 _CONVERTERS["video_keypoint"] = convert_video_keypoint_denoiser
 _CONVERTERS["video_interp"] = convert_video_interp_denoiser
+
+
+def convert_tiny_temporal_interpolator(sd: Dict[str, Array]) -> Params:
+    """Reference TinyTemporalInterpolator (video_interpolator.py:8) → flax
+    params. torch depthwise Conv1d weight [D, 1, K] → flax Conv kernel
+    [K, in/groups=1, D].
+
+    Scope note: the conv-refiner interpolators (LatentLerpResidual with
+    LatentResidualRefiner, LatentFlowInterpolator's UNet, the straightener
+    convs) are intentionally REDESIGNED on this side (MLP-over-features /
+    different layouts, see models/interpolators.py), so their weights do not
+    transfer — retrain those; the training costs minutes (docs/RESULTS.md).
+    """
+    conv_ids = sorted(
+        int(k[len("net."):].split(".")[0])
+        for k in sd if k.startswith("net.") and k.endswith(".weight")
+    )
+    return {
+        f"dwconv_{n}": {
+            "kernel": _np(sd[f"net.{cid}.weight"]).transpose(2, 1, 0),
+            "bias": _np(sd[f"net.{cid}.bias"]),
+        }
+        for n, cid in enumerate(conv_ids)
+    }
+
+
+_CONVERTERS["tiny_interpolator"] = convert_tiny_temporal_interpolator

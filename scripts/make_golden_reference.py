@@ -404,5 +404,14 @@ with torch.no_grad():
                     {"text_embed": t32(text_v)}, (HP, WP))
 msave("vi/out", vi_out)
 
+from src.models.video_interpolator import TinyTemporalInterpolator  # noqa: E402
+
+ti_ref = TinyTemporalInterpolator(data_dim=12, kernel_size=3, n_layers=2).eval()
+dump_sd(ti_ref, "ti")
+zt_in = rng.standard_normal((B_M, 9, 12)).astype(np.float32)
+msave("ti/in/z", zt_in)
+with torch.no_grad():
+    msave("ti/out", ti_ref(t32(zt_in)))
+
 np.savez_compressed(OUT_M, **mout)
 print(f"wrote {len(mout)} arrays -> {os.path.abspath(OUT_M)}")

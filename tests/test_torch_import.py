@@ -240,3 +240,15 @@ def test_video_interp_denoiser_import(g):
         (2, 3),
     )
     np.testing.assert_allclose(np.asarray(out), g["vi/out"], atol=3e-5, rtol=1e-4)
+
+
+def test_tiny_interpolator_import(g):
+    from interpolated_diffusion_tpu.models.interpolators import TinyTemporalInterpolator
+    from interpolated_diffusion_tpu.models.torch_import import (
+        convert_tiny_temporal_interpolator,
+    )
+
+    params = convert_tiny_temporal_interpolator(sd_of(g, "ti"))
+    model = TinyTemporalInterpolator(data_dim=12, kernel_size=3, n_layers=2)
+    out = model.apply({"params": params}, jnp.asarray(g["ti/in/z"]))
+    np.testing.assert_allclose(np.asarray(out), g["ti/out"], atol=2e-5, rtol=1e-4)
