@@ -124,10 +124,9 @@ class SparseLinearAttention(nn.Module):
                 qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
                 lut, self.block_q, self.block_k, None, self.impl, self.bwd_impl,
             )
-        o_l = _linear_attention(
-            qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
-            vf.astype(jnp.bfloat16), self.feature_map,
-        )
+        # inputs' dtype = the model's compute dtype (bf16 on TPU) — matching
+        # the reference's autocast; f32 models keep f32 here
+        o_l = _linear_attention(qf, kf, vf, self.feature_map)
         proj = nn.Dense(
             D, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
             name="proj_l",

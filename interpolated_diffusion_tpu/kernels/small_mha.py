@@ -41,7 +41,11 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     qh = q.reshape(B, L, n_heads, dh).transpose(0, 2, 1, 3)
     kh = k.reshape(B, L, n_heads, dh).transpose(0, 2, 1, 3)
     vh = v.reshape(B, L, n_heads, dh).transpose(0, 2, 1, 3)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) * dh ** -0.5
+    # f32 accumulation in the logits matmul — matches the Pallas kernel's
+    # preferred_element_type=f32, so the recompute-based backward
+    # differentiates the same function the forward computed
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * dh ** -0.5
     p = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
     o = jnp.einsum("bhqk,bhkd->bhqd", p, vh)
     return o.transpose(0, 2, 1, 3).reshape(B, L, HD)

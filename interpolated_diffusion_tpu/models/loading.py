@@ -72,18 +72,11 @@ def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
 
 def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
     if _is_torch_ckpt(path):
+        # load_reference_denoiser upgrades kind to interp_causal itself when
+        # the checkpoint's stage is "interp_levels_causal"
         from .torch_import import load_reference_denoiser
 
-        meta_kind = "interp"
-        try:
-            import torch
-
-            pay = torch.load(path, map_location="cpu", weights_only=False)
-            if isinstance(pay, dict) and pay.get("meta", {}).get("causal"):
-                meta_kind = "interp_causal"
-        except Exception:
-            pass
-        return load_reference_denoiser(path, meta_kind, bf16=bf16, use_ema=use_ema)
+        return load_reference_denoiser(path, "interp", bf16=bf16, use_ema=use_ema)
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "interp_levels":

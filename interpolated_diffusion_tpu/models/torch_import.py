@@ -179,12 +179,37 @@ def load_reference_checkpoint(
               else payload)
     meta = payload.get("meta", {}) if isinstance(payload, dict) else {}
     if use_ema and isinstance(payload, dict) and payload.get("ema"):
-        ema = payload["ema"]
-        shadow = ema.get("shadow", ema) if isinstance(ema, dict) else ema
+        _merge_ema_shadow(sd, payload["ema"], path)
+    return convert_state_dict(sd, kind), meta
+
+
+def _merge_ema_shadow(sd: Dict[str, Array], ema, path: str) -> None:
+    """Overwrite sd entries with EMA shadow weights, in place.
+
+    The reference stores the shadow as a LIST of tensors in
+    `model.parameters()` order (src/utils/ema.py:9,:28). For these models
+    (no buffers) that order equals state_dict key order, so we zip — with a
+    per-tensor shape check that catches any order drift. A dict-form shadow
+    (name-keyed) is also accepted.
+    """
+    shadow = ema.get("shadow", ema) if isinstance(ema, dict) else ema
+    if isinstance(shadow, dict):
         for k, v in shadow.items():
             if k in sd:
                 sd[k] = v
-    return convert_state_dict(sd, kind), meta
+        return
+    keys = list(sd.keys())
+    if len(shadow) != len(keys):
+        raise ValueError(
+            f"{path}: EMA shadow has {len(shadow)} tensors but the model "
+            f"state_dict has {len(keys)} — cannot align (pass use_ema=False "
+            "to load the raw weights)")
+    for k, t in zip(keys, shadow):
+        if tuple(_np(sd[k]).shape) != tuple(_np(t).shape):
+            raise ValueError(
+                f"{path}: EMA shadow/state_dict order mismatch at {k!r} "
+                f"({_np(sd[k]).shape} vs {_np(t).shape}); pass use_ema=False")
+        sd[k] = t
 
 
 def _ref_channels(meta: Dict[str, Any], key: str) -> Tuple[int, ...]:
@@ -237,8 +262,13 @@ def load_reference_denoiser(path: str, kind: str, bf16: bool = True,
         norm.setdefault("use_kp_feat", int(meta.get("kp_feat_dim", 0)) > 0)
         return model, params, norm
     if kind in ("interp", "interp_causal"):
-        if meta and meta.get("stage") not in (None, "interp_levels"):
+        stage = meta.get("stage") if meta else None
+        if stage not in (None, "interp_levels", "interp_levels_causal"):
             raise ValueError(f"{path} is not a reference Stage-2 checkpoint")
+        # the causal trainer stamps its own stage (train_interp_levels_causal
+        # .py:971) — honor it regardless of the requested kind
+        if stage == "interp_levels_causal":
+            kind = "interp_causal"
         model = InterpLevelDenoiser(
             d_model=int(meta.get("s2_d_model", 256)),
             n_layers=int(meta.get("s2_n_layers", 8)),
@@ -258,10 +288,15 @@ def load_reference_denoiser(path: str, kind: str, bf16: bool = True,
         norm = dict(meta)
         for ours, ref in [("d_model", "s2_d_model"), ("n_layers", "s2_n_layers"),
                           ("n_heads", "s2_n_heads"), ("d_ff", "s2_d_ff"),
-                          ("d_cond", "s2_d_cond")]:
+                          ("d_cond", "s2_d_cond"),
+                          # reference records the adj/x0 target mode as
+                          # "stage2_mode" (train_interp_levels.py:1192);
+                          # native meta + sample/generate.py read "mode"
+                          ("mode", "stage2_mode")]:
             norm.setdefault(ours, meta.get(ref, None))
         norm.setdefault("maze_channels",
                         ",".join(str(c) for c in _ref_channels(meta, "s2_maze_channels")))
+        norm.setdefault("causal", int(kind == "interp_causal"))
         return model, params, norm
     raise ValueError(f"unknown kind {kind!r}")
 
@@ -361,18 +396,19 @@ def load_reference_selector(path: str, bf16: bool = True, use_ema: bool = True):
 
     from .selector import KeypointSelector
 
-    _, meta = load_reference_checkpoint(path, "selector", use_ema=use_ema)
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = dict(payload["model"] if isinstance(payload, dict) and "model" in payload
+              else payload)
+    meta = payload.get("meta", {}) if isinstance(payload, dict) else {}
     if meta and meta.get("stage") not in (None, "selector"):
         raise ValueError(f"{path} is not a reference selector checkpoint")
+    if use_ema and isinstance(payload, dict) and payload.get("ema"):
+        _merge_ema_shadow(sd, payload["ema"], path)
     n_heads = int(meta.get("n_heads", 8))
-    params, _ = load_reference_checkpoint(path, "selector", use_ema=use_ema)
-    if n_heads != 8:
-        # re-convert with the checkpoint's head count (attention head split)
-        import torch
-
-        payload = torch.load(path, map_location="cpu", weights_only=False)
-        sd = {k: _np(v) for k, v in payload["model"].items()}
-        params = convert_keypoint_selector(sd, n_heads=n_heads)
+    params = convert_keypoint_selector({k: _np(v) for k, v in sd.items()},
+                                       n_heads=n_heads)
     model = KeypointSelector(
         T=int(meta.get("T", 64)), d_model=int(meta.get("d_model", 256)),
         n_heads=n_heads, d_ff=int(meta.get("d_ff", 512)),

@@ -252,3 +252,36 @@ def test_tiny_interpolator_import(g):
     model = TinyTemporalInterpolator(data_dim=12, kernel_size=3, n_layers=2)
     out = model.apply({"params": params}, jnp.asarray(g["ti/in/z"]))
     np.testing.assert_allclose(np.asarray(out), g["ti/out"], atol=2e-5, rtol=1e-4)
+
+
+def test_load_pt_with_list_ema_and_causal_stage(g, tmp_path):
+    """Reference checkpoints store EMA shadow as a LIST in parameters()
+    order (ema.py:9,:28) and the causal trainer stamps
+    stage='interp_levels_causal' — both must load end to end."""
+    torch = pytest.importorskip("torch")
+    sd = {k: torch.from_numpy(np.array(v)) for k, v in sd_of(g, "itc").items()}
+    # EMA shadow = scaled copies, list-form, state-dict order
+    shadow = [v.clone() * 0.5 for v in sd.values()]
+    meta = {"stage": "interp_levels_causal", "T": T_M, "K_min": 6, "levels": 3,
+            "data_dim": 2, "use_sdf": False, "cond_start_goal": True,
+            "stage2_mode": "x0", "mask_channels": 1, "k_schedule": "doubling",
+            "s2_d_model": 64, "s2_n_layers": 2, "s2_n_heads": 4,
+            "s2_d_ff": 128, "s2_d_cond": 32, "s2_maze_channels": "8,16"}
+    path = str(tmp_path / "ckpt_causal.pt")
+    torch.save({"model": sd, "step": 7, "meta": meta,
+                "ema": {"decay": 0.999, "shadow": shadow}}, path)
+
+    from interpolated_diffusion_tpu.models.loading import load_interp_model
+
+    model, params, norm = load_interp_model(path, bf16=False, use_ema=True)
+    assert model.causal and norm["mode"] == "x0" and norm["causal"]
+    # EMA applied: transformer qkv kernel is half the raw weight
+    raw = np.array(g["itc/sd/transformer.layers.0.attn.in_proj_weight"]).T
+    got = np.asarray(params["transformer"]["block_0"]["qkv"]["kernel"])
+    np.testing.assert_allclose(got, raw * 0.5, atol=1e-6)
+
+    # raw load (use_ema=False) keeps the un-averaged weights
+    _, params_raw, _ = load_interp_model(path, bf16=False, use_ema=False)
+    np.testing.assert_allclose(
+        np.asarray(params_raw["transformer"]["block_0"]["qkv"]["kernel"]),
+        raw, atol=1e-6)
