@@ -87,6 +87,7 @@ class PipelineConfig:
         logit_eps: float = 1e-5,
         recompute_vel: bool = False,
         stage2_mask_policy: str = "base",  # base | selector
+        collect_steps: bool = False,       # also return per-step states
     ):
         self.__dict__.update(locals())
         del self.__dict__["self"]
@@ -136,12 +137,14 @@ def make_pipeline(
             eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, T)
             z = ddim_step(z, eps, t_b, tp_b, kp_schedule)
             z = clip_pos(jnp.where(known_mask, known_values, z))
-            return z, None
+            return z, (z if cfg.collect_steps else None)
 
-        z, _ = jax.lax.scan(body, z, t_pairs)
+        z, z_steps = jax.lax.scan(body, z, t_pairs)
         if cfg.logit_space:
             z = sigmoid_pos(z)
-        return z
+            if cfg.collect_steps:
+                z_steps = sigmoid_pos(z_steps)
+        return (z, z_steps) if cfg.collect_steps else z
 
     def stage2(interp_params, key, x_pred, idx, cond, selector_logits=None):
         B = idx.shape[0]
@@ -156,6 +159,7 @@ def make_pipeline(
                 key, idx, T, levels, k_schedule=cfg.k_schedule
             )
         x = x_pred
+        x_steps = []
         noise_keys = jax.random.split(jax.random.fold_in(key, 7), levels + 1)
         if cfg.stage2_mode == "x0":
             s_iter = [levels]
@@ -210,6 +214,10 @@ def make_pipeline(
                 end_mask = jnp.zeros_like(mask_s).at[:, 0].set(True).at[:, -1].set(True)
                 x = apply_clamp(x, x_pred, end_mask, cfg.clamp_dims)
             x = clip_pos(x)
+            if cfg.collect_steps:
+                x_steps.append(x)
+        if cfg.collect_steps:
+            return x, jnp.stack(x_steps, axis=0)
         return x
 
     def pipeline(kp_params, interp_params, key, idx, cond,
@@ -221,14 +229,24 @@ def make_pipeline(
         # scan body is opaque to XLA, so it cannot do this hoist itself)
         kp_cond = hoist_cond_vec(kp_model, kp_params, cond)
         it_cond = hoist_cond_vec(interp_model, interp_params, cond)
-        z_pred = (stage1(kp_params, k1, idx, kp_cond)
-                  if z_override is None else z_override)
+        z_steps = None
+        if z_override is not None:
+            z_pred = z_override
+        elif cfg.collect_steps:
+            z_pred, z_steps = stage1(kp_params, k1, idx, kp_cond)
+        else:
+            z_pred = stage1(kp_params, k1, idx, kp_cond)
         x_interp = interpolate_from_indices(
             idx, z_pred, T, recompute_velocity=cfg.recompute_vel
         )
-        x_refined = stage2(interp_params, k2, x_interp, idx, it_cond,
-                           selector_logits)
-        return x_interp, x_refined, z_pred
+        s2 = stage2(interp_params, k2, x_interp, idx, it_cond, selector_logits)
+        if cfg.collect_steps:
+            x_refined, x_steps = s2
+            if z_steps is None:
+                z_steps = jnp.broadcast_to(z_pred[None],
+                                           (1, *z_pred.shape))
+            return x_interp, x_refined, z_pred, (z_steps, x_steps)
+        return x_interp, s2, z_pred
 
     return pipeline
 
@@ -250,6 +268,58 @@ def hoist_cond_vec(model, params, cond):
     out = dict(cond)
     out["cond_vec"] = vec
     return out
+
+
+def export_viz(args, cond, idx, z_pred, x_interp, x_refined, gt, steps, T):
+    """Per-sample PNG plots and per-step diffusion frames + GIF.
+
+    Parity with reference sample_generate.py :1400-1513 (sample plots) and
+    :1515-1642 (per-step frames + video export; GIF here — ffmpeg-free).
+    """
+    from ..eval.visualize import plot_occupancy_trajectories
+
+    occ = np.asarray(cond["occ"])
+    sg = np.asarray(cond["start_goal"])
+    plots_dir = os.path.join(args.out_dir, "plots")
+    os.makedirs(plots_dir, exist_ok=True)
+    for b in range(min(int(args.save_plots), x_interp.shape[0])):
+        plot_occupancy_trajectories(
+            occ[b], [np.asarray(gt)[b], np.asarray(x_interp)[b],
+                     np.asarray(x_refined)[b]],
+            labels=["gt", "interp", "refined"],
+            keypoints=np.asarray(z_pred)[b], start_goal=sg[b],
+            out_path=os.path.join(plots_dir, f"sample_{b:03d}.png"),
+            title=f"sample {b}",
+        )
+    if not (args.save_steps and steps is not None):
+        return
+    z_steps, x_steps = steps       # [S1,B,K,D], [S2,B,T,D]
+    frames_dir = os.path.join(args.out_dir, "steps")
+    os.makedirs(frames_dir, exist_ok=True)
+    frames = []
+    for si in range(z_steps.shape[0]):
+        traj = np.asarray(interpolate_from_indices(
+            idx[:1], z_steps[si][:1], T))[0]
+        frames.append(("stage1", si, traj))
+    for si in range(x_steps.shape[0]):
+        frames.append(("stage2", si, np.asarray(x_steps[si][0])))
+    paths = []
+    for fi, (stage, si, traj) in enumerate(frames):
+        paths.append(plot_occupancy_trajectories(
+            occ[0], [np.asarray(gt)[0], traj], labels=["gt", stage],
+            keypoints=np.asarray(z_pred)[0], start_goal=sg[0],
+            out_path=os.path.join(frames_dir, f"frame_{fi:03d}.png"),
+            title=f"{stage} step {si}",
+        ))
+    try:
+        from PIL import Image
+
+        imgs = [Image.open(p) for p in paths]
+        imgs[0].save(os.path.join(args.out_dir, "diffusion_steps.gif"),
+                     save_all=True, append_images=imgs[1:], duration=200,
+                     loop=0)
+    except Exception as e:  # PNG frames remain the durable output
+        print(f"gif export skipped ({e})")
 
 
 # ---------------------------------------------------------------------------
@@ -293,6 +363,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--out_dir", type=str, default="runs/samples")
     p.add_argument("--save_npz", type=int, default=1)
+    p.add_argument("--save_plots", type=int, default=0,
+                   help="plot the first N samples of batch 0 as PNGs")
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="export per-step diffusion frames (PNG + GIF) for "
+                        "sample 0 of batch 0 (reference :1515-1642)")
     add_data_args(p)
     return p
 
@@ -326,6 +401,7 @@ def main(argv=None):
         logit_eps=float(kp_meta.get("logit_eps", 1e-5)),
         recompute_vel=bool(il_meta.get("recompute_vel", 0)) and int(kp_meta["data_dim"]) == 4,
         stage2_mask_policy=args.stage2_mask_policy,
+        collect_steps=bool(args.save_steps),
     )
     selector = None
     if args.kp_index_mode == "selector" or args.stage2_mask_policy == "selector":
@@ -396,8 +472,10 @@ def main(argv=None):
                         f"stage1 cache {cache_path} endpoint mismatch ({err:.4f}); "
                         "conditioning changed since the cache was written")
         t0 = time.time()
-        x_interp, x_refined, z_pred = pipeline(
+        out = pipeline(
             kp_params, interp_params, k_b, idx, cond, z_override, sel_logits)
+        x_interp, x_refined, z_pred = out[:3]
+        steps = out[3] if len(out) > 3 else None
         if cache_path and (mode == "save" or (mode == "auto"
                                               and not os.path.exists(cache_path))):
             os.makedirs(args.stage1_cache, exist_ok=True)
@@ -415,7 +493,8 @@ def main(argv=None):
         variants = {"interp": m_i, "refined": m_r}
         if args.compare_oracle:
             z_oracle = gather_keypoints(gt, idx)
-            xo_i, xo_r, _ = pipeline(kp_params, interp_params, k_b, idx, cond, z_oracle)
+            xo_i, xo_r = pipeline(kp_params, interp_params, k_b, idx, cond,
+                                  z_oracle)[:2]
             variants["oracle_interp"] = compute_metrics_batch(
                 cond["occ"], xo_i, cond["start_goal"][:, 2:], gt)
             variants["oracle_refined"] = compute_metrics_batch(
@@ -431,6 +510,10 @@ def main(argv=None):
         all_out["keypoints"].append(np.asarray(z_pred))
         all_out["idx"].append(np.asarray(idx))
         all_out["gt"].append(np.asarray(batch["x"]))
+        all_out.setdefault("occ", []).append(np.asarray(batch["occ"]))
+        all_out.setdefault("start_goal", []).append(np.asarray(batch["start_goal"]))
+        if bi == 0 and (args.save_plots or args.save_steps):
+            export_viz(args, cond, idx, z_pred, x_interp, x_refined, gt, steps, T)
         print(f"batch {bi}: {dt:.3f}s "
               f"coll(interp)={float(m_i['collision_rate'].mean()):.4f} "
               f"coll(refined)={float(m_r['collision_rate'].mean()):.4f} "

@@ -182,3 +182,24 @@ def test_log_experiment_script(tmp_path):
     assert r.returncode == 0, r.stderr
     content = open(tmp_path / "LOG.md").read()
     assert "test exp" in content and "0.12345" in content
+
+
+def test_sampler_viz_exports(tmp_path):
+    """samples.npz carries occ/start_goal and the rerender script replots
+    from it alone (reference npz-rerender parity)."""
+    import numpy as np
+    import scripts.rerender_npz as rr
+
+    B, T, K, G = 2, 16, 4, 9
+    rng = np.random.default_rng(0)
+    npz = tmp_path / "samples.npz"
+    np.savez(npz,
+             interp=rng.random((B, T, 2)), refined=rng.random((B, T, 2)),
+             gt=rng.random((B, T, 2)), keypoints=rng.random((B, K, 2)),
+             idx=np.tile(np.linspace(0, T - 1, K, dtype=np.int64), (B, 1)),
+             occ=(rng.random((B, 1, G, G)) < 0.2).astype(np.float32),
+             start_goal=rng.random((B, 4)))
+    out = tmp_path / "plots"
+    rr.main(["--npz", str(npz), "--out", str(out), "-n", "2"])
+    assert sorted(p.name for p in out.iterdir()) == ["sample_000.png",
+                                                     "sample_001.png"]
