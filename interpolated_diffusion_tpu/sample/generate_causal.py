@@ -41,9 +41,11 @@ def make_causal_pipeline(
     T: int, K_min: int, levels: int, chunk: int, ddim_steps: int,
     data_dim: int, logit_space: bool, logit_eps: float,
     clamp_endpoints: bool, clamp_policy: str, clamp_dims: str,
-    recompute_vel: bool, mask_channels: int = 1,
+    recompute_vel: bool, mask_channels: int = 1, collect_chunks: bool = False,
 ):
-    """Returns pipeline(kp_params, interp_params, key, cond) -> x_gen [B,T,D]."""
+    """Returns pipeline(kp_params, interp_params, key, cond) -> x_gen [B,T,D]
+    (plus the per-chunk prefix states [n_chunks,B,T,D] with collect_chunks —
+    the reference's per-chunk frame export, sample_generate_causal.py:584)."""
     times = jnp.asarray(make_timesteps(kp_schedule.n_timesteps, ddim_steps, "linear"))
 
     def stage1_chunk(kp_params, key, idx, known_mask, known_values, cond, local_T):
@@ -73,6 +75,7 @@ def make_causal_pipeline(
 
         cur = 1
         ci = 0
+        chunk_states = []
         while cur < T:
             end = min(T - 1, cur + chunk - 1)
             L = end - cur + 1
@@ -156,12 +159,47 @@ def make_causal_pipeline(
             mask_gen = mask_full
             cur = end + 1
             ci += 1
+            if collect_chunks:
+                chunk_states.append(x_gen)
 
         if recompute_vel and data_dim == 4:
             x_gen = recompute_velocity_channels(x_gen, T)
+        if collect_chunks:
+            return x_gen, jnp.stack(chunk_states, axis=0)
         return x_gen
 
     return pipeline
+
+
+def _export_chunks(args, cond, gt, chunks):
+    """Per-chunk frames + GIF for sample 0 (reference :584-630)."""
+    from ..eval.visualize import plot_occupancy_trajectories
+
+    occ = np.asarray(cond["occ"])
+    sg = np.asarray(cond["start_goal"])
+    frames_dir = os.path.join(args.out_dir, "chunks")
+    os.makedirs(frames_dir, exist_ok=True)
+    paths = []
+    for ci in range(chunks.shape[0]):
+        paths.append(plot_occupancy_trajectories(
+            occ[0], [gt[0], np.asarray(chunks[ci][0])], labels=["gt", "prefix"],
+            start_goal=sg[0],
+            out_path=os.path.join(frames_dir, f"chunk_{ci:03d}.png"),
+            title=f"chunk {ci}",
+        ))
+    try:
+        from PIL import Image
+
+        imgs = [Image.open(p) for p in paths]
+        imgs[0].save(os.path.join(args.out_dir, "chunks.gif"), save_all=True,
+                     append_images=imgs[1:], duration=400, loop=0)
+    except Exception as e:
+        print(f"gif export skipped ({e})")
+    np.savez_compressed(
+        os.path.join(args.out_dir, "samples.npz"),
+        x_gen=np.asarray(chunks[-1]), gt=gt, occ=occ, start_goal=sg,
+        chunks=np.asarray(chunks),
+    )
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -180,6 +218,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sample_seed", type=int, default=1234)
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--out_dir", type=str, default="runs/samples_causal")
+    p.add_argument("--save_chunks", type=int, default=0,
+                   help="export per-chunk frames (PNG + GIF) for sample 0 of "
+                        "batch 0 + samples.npz")
     add_data_args(p)
     return p
 
@@ -202,6 +243,7 @@ def main(argv=None):
         clamp_policy=args.clamp_policy, clamp_dims=args.clamp_dims,
         recompute_vel=bool(il_meta.get("recompute_vel", 0)) and data_dim == 4,
         mask_channels=int(il_meta.get("mask_channels", 1)),
+        collect_chunks=bool(args.save_chunks),
     ))
 
     args.T = T
@@ -217,7 +259,8 @@ def main(argv=None):
                 "start_goal": jnp.asarray(batch["start_goal"])}
         key, k_b = jax.random.split(key)
         t0 = time.time()
-        x_gen = pipeline(kp_params, interp_params, k_b, cond)
+        out = pipeline(kp_params, interp_params, k_b, cond)
+        x_gen, chunks = (out if args.save_chunks else (out, None))
         x_gen.block_until_ready()
         dt = time.time() - t0
         if bi > 0:
@@ -230,6 +273,8 @@ def main(argv=None):
                          **{k: float(v[b]) for k, v in m.items()}})
         print(f"batch {bi}: {dt:.3f}s coll={float(m['collision_rate'].mean()):.4f} "
               f"goal={float(m['goal_dist'].mean()):.4f}")
+        if bi == 0 and args.save_chunks:
+            _export_chunks(args, cond, np.asarray(batch["x"]), chunks)
 
     with open(os.path.join(args.out_dir, "metrics.csv"), "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
