@@ -153,6 +153,10 @@ def sample_fixed_k_indices_uniform_batch(
     cols = [idx[:, k] for k in range(K)]
     for k in range(1, K):
         cols[k] = jnp.maximum(cols[k], cols[k - 1] + 1)
+    # anchor the top end BEFORE the backward sweep: with large jitter the
+    # forward sweep can push past T-1, and a post-hoc clip would create
+    # duplicate anchors (violating the strictly-increasing contract)
+    cols[K - 1] = jnp.minimum(cols[K - 1], T - 1)
     for k in range(K - 2, -1, -1):
         cols[k] = jnp.minimum(cols[k], cols[k + 1] - 1)
     idx = jnp.clip(jnp.stack(cols, axis=1), 0, T - 1)

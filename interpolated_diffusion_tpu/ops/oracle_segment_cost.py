@@ -53,30 +53,33 @@ def compute_oracle_cost_seg_mse(
 
     cost(i,j) = Σ_{t interior} mean_D (z_t − lerp(z_i, z_j, α_t))²,
     optionally divided by the interior count (mean over frames).
+
+    Computed DIRECTLY via a lax.scan over frames, accumulating the residual
+    (z_t − (1−α)z_i − αz_j)² in f32 — an expansion into Gram terms
+    (‖z_t‖² + … − 2z_t·z_i …) looks vectorization-friendly but suffers
+    catastrophic cancellation at Wan scale (D ≈ 25k, residual ≪ term
+    magnitude, and TPU einsum's default reduced precision makes it worse):
+    costs could come out negative or mis-ranked, corrupting DP labels.
+    Per-step footprint is one [B, S, D] residual.
     """
+    import jax
+
     B, T, D = z.shape
-    z_i = z[:, pre.seg_i]                      # [B,S,D]
-    z_j = z[:, pre.seg_j]
-    # per-frame squared error without materializing [B,S,T,D]:
-    # ‖z_t − (1−α)z_i − αz_j‖² = ‖z_t‖² + (1−α)²‖z_i‖² + α²‖z_j‖²
-    #   − 2(1−α)z_t·z_i − 2αz_t·z_j + 2α(1−α)z_i·z_j
-    zz = (z * z).sum(-1)                       # [B,T]
-    zi2 = (z_i * z_i).sum(-1)                  # [B,S]
-    zj2 = (z_j * z_j).sum(-1)
-    zij = (z_i * z_j).sum(-1)
-    t_dot_i = jnp.einsum("btd,bsd->bst", z, z_i)
-    t_dot_j = jnp.einsum("btd,bsd->bst", z, z_j)
-    a = pre.alpha[None]                        # [1,S,T]
-    m = pre.member[None]
-    sq = (
-        zz[:, None, :]
-        + (1 - a) ** 2 * zi2[..., None]
-        + a ** 2 * zj2[..., None]
-        - 2 * (1 - a) * t_dot_i
-        - 2 * a * t_dot_j
-        + 2 * a * (1 - a) * zij[..., None]
+    z32 = z.astype(jnp.float32)
+    z_i = z32[:, pre.seg_i]                    # [B,S,D]
+    z_j = z32[:, pre.seg_j]
+
+    def body(acc, inp):
+        z_t, a_t, m_t = inp                    # [B,D], [S], [S]
+        lerp = (1.0 - a_t)[None, :, None] * z_i + a_t[None, :, None] * z_j
+        sq = ((z_t[:, None, :] - lerp) ** 2).sum(-1)       # [B,S]
+        return acc + sq * m_t[None, :], None
+
+    acc0 = jnp.zeros((B, pre.seg_i.shape[0]), jnp.float32)
+    cost, _ = jax.lax.scan(
+        body, acc0, (z32.transpose(1, 0, 2), pre.alpha.T, pre.member.T)
     )
-    cost = (sq * m).sum(-1) / D
+    cost = cost / D
     if normalize:
         cost = cost / jnp.maximum(pre.count[None], 1.0)
     return cost

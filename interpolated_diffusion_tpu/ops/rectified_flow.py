@@ -31,11 +31,17 @@ def rf_loss(
     v_pred: jnp.ndarray, x0: jnp.ndarray, noise: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """Velocity-matching MSE. mask may be per-position ([B,T] / [B,T,1]) or
+    full-shape; masked and unmasked paths have the same scale (mean over the
+    selected elements)."""
     v = noise - x0
     se = (v_pred - v) ** 2
     if mask is not None:
-        se = se * mask
-        return se.sum() / (mask.sum() + 1e-8)
+        mask = mask.astype(se.dtype)
+        while mask.ndim < se.ndim:
+            mask = mask[..., None]
+        mask = jnp.broadcast_to(mask, se.shape)
+        return (se * mask).sum() / (mask.sum() + 1e-8)
     return se.mean()
 
 
@@ -48,17 +54,19 @@ def rf_sample(
     keep_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Integrate dx/dt = v_θ(x, t) from t=1 (noise) to t=0 in one scan."""
-    B = shape[0]
     x = jax.random.normal(key, shape, dtype=jnp.float32)
     if keep_mask is not None:
         x = x * (~keep_mask)[..., None]
+    return _integrate(velocity_fn, x, steps, method, keep_mask, shape[0])
+
+
+def _integrate(velocity_fn, x, steps, method, keep_mask, B):
     ts = jnp.linspace(1.0, 0.0, steps + 1)
 
     def body(x, i):
         t_now = ts[i]
         dt = ts[i + 1] - ts[i]              # negative
-        t_b = jnp.full((B,), t_now)
-        v = velocity_fn(x, t_b)
+        v = velocity_fn(x, jnp.full((B,), t_now))
         if method == "midpoint":
             x_mid = x + 0.5 * dt * v
             v = velocity_fn(x_mid, jnp.full((B,), t_now + 0.5 * dt))
@@ -75,19 +83,6 @@ def reflow_pair(
     velocity_fn: Callable, key: jax.Array, shape: Tuple[int, ...], steps: int = 20
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(noise, generated) coupling for ReFlow distillation rounds."""
-    k_n, k_s = jax.random.split(key)
-    noise = jax.random.normal(k_n, shape, dtype=jnp.float32)
-
-    def vf(x, t):
-        return velocity_fn(x, t)
-
-    ts = jnp.linspace(1.0, 0.0, steps + 1)
-    x = noise
-
-    def body(x, i):
-        dt = ts[i + 1] - ts[i]
-        v = vf(x, jnp.full((shape[0],), ts[i]))
-        return x + dt * v, None
-
-    x, _ = jax.lax.scan(body, x, jnp.arange(steps))
+    noise = jax.random.normal(key, shape, dtype=jnp.float32)
+    x = _integrate(velocity_fn, noise, steps, "euler", None, shape[0])
     return noise, x

@@ -130,18 +130,8 @@ def parse_policy_mix(spec: str) -> List[Tuple[str, float]]:
     return [(n, w / total) for n, w in mix]
 
 
-def distance_alpha(idx: jnp.ndarray, T: int) -> jnp.ndarray:
-    """Per-frame noise scale ∈ [0,1]: 0 at anchors, 1 at segment midpoints."""
-    B, K = idx.shape
-    t_grid = jnp.arange(T, dtype=idx.dtype)
-    seg = jax.vmap(lambda a: jnp.searchsorted(a, t_grid, side="right"))(idx) - 1
-    seg = jnp.clip(seg, 0, K - 2)
-    left = jnp.take_along_axis(idx, seg, axis=1)
-    right = jnp.take_along_axis(idx, seg + 1, axis=1)
-    gap = jnp.maximum(right - left, 1)
-    dist = jnp.minimum(t_grid[None, :] - left, right - t_grid[None, :])
-    alpha = jnp.clip(2.0 * dist.astype(jnp.float32) / gap.astype(jnp.float32), 0.0, 1.0)
-    return alpha[..., None]
+# single implementation in ops/video_keyframes.py (was duplicated here)
+from ..ops.video_keyframes import distance_alpha  # noqa: E402,F401
 
 
 def corrupt_from_anchors(

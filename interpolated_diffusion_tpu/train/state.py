@@ -40,7 +40,9 @@ def make_optimizer(
     + optional torch Muon); Muon comes from optax.contrib (Newton-Schulz
     orthogonalized momentum on 2D params, AdamW elsewhere).
     """
-    if schedule == "cosine" and total_steps:
+    if schedule == "cosine":
+        if not total_steps:
+            raise ValueError("schedule='cosine' requires total_steps > 0")
         lr_sched = optax.warmup_cosine_decay_schedule(
             0.0, lr, warmup_steps, total_steps
         )
@@ -90,9 +92,9 @@ def make_train_step_frozen(
             ema_update(state.ema_params, new_params, ema_decay)
             if state.ema_params is not None else None
         )
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
-        if isinstance(aux, dict):
-            metrics.update(aux)
+        metrics = dict(aux) if isinstance(aux, dict) else {}
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(state.step + 1, new_params, new_opt_state, new_ema), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -114,6 +116,53 @@ def init_train_state(
 LossFn = Callable[[Any, Dict[str, Any], jax.Array], Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
 
 
+def _loss_and_grads(loss_fn, params, batch, rng, grad_accum: int):
+    """(loss, aux, grads), with microbatch accumulation when grad_accum > 1.
+
+    Loss, grads, AND aux metrics are averaged over the microbatches (aux from
+    only the last microbatch would be a biased 1/grad_accum sample)."""
+
+    def grads_of(p, b, r):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, b, r)
+        return loss, aux, grads
+
+    if grad_accum <= 1:
+        return grads_of(params, batch, rng)
+
+    def split_micro(x):
+        x = jnp.asarray(x)
+        if x.ndim == 0:  # scalar batch entries are broadcast
+            return jnp.broadcast_to(x, (grad_accum,))
+        return x.reshape(grad_accum, x.shape[0] // grad_accum, *x.shape[1:])
+
+    micro = jax.tree_util.tree_map(split_micro, batch)
+    rngs = jax.random.split(rng, grad_accum)
+
+    def body(carry, inp):
+        mb, r = inp
+        loss, aux, grads = grads_of(params, mb, r)
+        acc_loss, acc_grads = carry
+        acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+        return (acc_loss + loss, acc_grads), aux
+
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (loss_sum, grads), auxes = jax.lax.scan(
+        body, (jnp.zeros(()), zero_grads), (micro, rngs)
+    )
+    loss = loss_sum / grad_accum
+    grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+    aux = jax.tree_util.tree_map(lambda a: jnp.mean(a, axis=0), auxes)
+    return loss, aux, grads
+
+
+def _step_metrics(loss, grads, aux):
+    """aux first so the averaged loss/grad_norm can never be clobbered."""
+    metrics = dict(aux) if isinstance(aux, dict) else {}
+    metrics["loss"] = loss
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return metrics
+
+
 def make_train_step(
     loss_fn: LossFn,
     tx: optax.GradientTransformation,
@@ -128,38 +177,10 @@ def make_train_step(
     reference's --grad_accum semantics inside one jit).
     """
 
-    def grads_of(params, batch, rng):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
-        return loss, aux, grads
-
     def step_fn(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
-        if grad_accum <= 1:
-            loss, aux, grads = grads_of(state.params, batch, rng)
-        else:
-            def split_micro(x):
-                x = jnp.asarray(x)
-                if x.ndim == 0:  # scalar batch entries are broadcast
-                    return jnp.broadcast_to(x, (grad_accum,))
-                return x.reshape(grad_accum, x.shape[0] // grad_accum, *x.shape[1:])
-
-            micro = jax.tree_util.tree_map(split_micro, batch)
-            rngs = jax.random.split(rng, grad_accum)
-
-            def body(carry, inp):
-                mb, r = inp
-                loss, aux, grads = grads_of(state.params, mb, r)
-                acc_loss, acc_grads = carry
-                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
-                return (acc_loss + loss, acc_grads), aux
-
-            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            (loss_sum, grads), auxes = jax.lax.scan(
-                body, (jnp.zeros(()), zero_grads), (micro, rngs)
-            )
-            loss = loss_sum / grad_accum
-            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
-            aux = jax.tree_util.tree_map(lambda a: a[-1], auxes)
-
+        loss, aux, grads = _loss_and_grads(
+            loss_fn, state.params, batch, rng, grad_accum
+        )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = (
@@ -173,10 +194,7 @@ def make_train_step(
             opt_state=new_opt_state,
             ema_params=new_ema,
         )
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
-        if isinstance(aux, dict):
-            metrics.update(aux)
-        return new_state, metrics
+        return new_state, _step_metrics(loss, grads, aux)
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -199,22 +217,18 @@ def make_train_multi_step(
     if steps_per_call <= 1:
         return make_train_step(loss_fn, tx, ema_decay, grad_accum, donate)
 
-    def grads_of(params, batch, rng):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
-        return loss, aux, grads
-
     def one_step(state: TrainState, batch, rng):
-        loss, aux, grads = grads_of(state.params, batch, rng)
+        loss, aux, grads = _loss_and_grads(
+            loss_fn, state.params, batch, rng, grad_accum
+        )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = (
             ema_update(state.ema_params, new_params, ema_decay)
             if state.ema_params is not None else None
         )
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
-        if isinstance(aux, dict):
-            metrics.update(aux)
-        return TrainState(state.step + 1, new_params, new_opt_state, new_ema), metrics
+        return (TrainState(state.step + 1, new_params, new_opt_state, new_ema),
+                _step_metrics(loss, grads, aux))
 
     def multi_step(state: TrainState, superbatch, rng: jax.Array):
         rngs = jax.random.split(rng, steps_per_call)

@@ -63,3 +63,76 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     # the single-host reader's meta helpers work on the orbax format too
     step2, meta2 = read_meta(path)
     assert step2 == 5 and meta2 == meta
+
+
+def test_rf_loss_mask_shapes_and_scale():
+    """[B,T] and [B,T,1] masks broadcast; an all-ones mask equals mean()."""
+    import jax.numpy as jnp
+    from interpolated_diffusion_tpu.ops.rectified_flow import rf_loss
+
+    B, T, D = 2, 6, 4
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    v_pred = jax.random.normal(k[0], (B, T, D))
+    x0 = jax.random.normal(k[1], (B, T, D))
+    noise = jax.random.normal(k[2], (B, T, D))
+    base = float(rf_loss(v_pred, x0, noise))
+    for mask in (jnp.ones((B, T)), jnp.ones((B, T, 1)), jnp.ones((B, T, D))):
+        np.testing.assert_allclose(float(rf_loss(v_pred, x0, noise, mask)),
+                                   base, rtol=1e-5)
+    # half-masked loss uses only the selected positions, same scale
+    m = jnp.zeros((B, T)).at[:, :3].set(1.0)
+    half = float(rf_loss(v_pred, x0, noise, m))
+    ref = float((((noise - x0) - v_pred) ** 2)[:, :3].mean())
+    np.testing.assert_allclose(half, ref, rtol=1e-5)
+
+
+def test_uniform_jitter_indices_strictly_increasing():
+    """Large jitter must not create duplicate anchors near T-1."""
+    from interpolated_diffusion_tpu.ops.keyframes import (
+        sample_fixed_k_indices_uniform_batch,
+    )
+
+    idx, _ = sample_fixed_k_indices_uniform_batch(
+        jax.random.PRNGKey(3), 64, 17, 16, ensure_endpoints=False, jitter=2.0
+    )
+    d = np.diff(np.asarray(idx), axis=1)
+    assert (d >= 1).all(), f"duplicate/decreasing anchors: min diff {d.min()}"
+    assert int(np.asarray(idx).max()) <= 16
+
+
+def test_multi_step_applies_grad_accum():
+    """steps_per_call>1 with grad_accum>1 must match grad_accum semantics
+    (identical params to the single-step grad-accum path on the same data)."""
+    import optax
+    from interpolated_diffusion_tpu.train.state import (
+        init_train_state, make_train_step, make_train_multi_step,
+    )
+
+    def loss_fn(params, batch, rng):
+        pred = batch["x"] @ params["w"]
+        return ((pred - batch["y"]) ** 2).mean(), {"aux_mse": ((pred - batch["y"]) ** 2).mean()}
+
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    params = {"w": jax.random.normal(k[0], (5, 3))}
+    batch = {"x": jax.random.normal(k[1], (8, 5)),
+             "y": jax.random.normal(k[2], (8, 3))}
+    tx = optax.sgd(0.1)
+    s1 = init_train_state(params, tx, use_ema=False)
+    s2 = init_train_state(params, tx, use_ema=False)
+    step = make_train_step(loss_fn, tx, grad_accum=4, donate=False)
+    multi = make_train_multi_step(loss_fn, tx, grad_accum=4, steps_per_call=2,
+                                  donate=False)
+    r = jax.random.PRNGKey(7)
+    s1, m1 = step(s1, batch, jax.random.fold_in(r, 0))
+    s1, m1 = step(s1, batch, jax.random.fold_in(r, 1))
+    super_batch = {kk: jnp.stack([v, v]) for kk, v in batch.items()}
+    rngs_key = r
+
+    # multi-step internally splits its rng; to compare, run it and check the
+    # grad-accum effect structurally: with a deterministic loss (no rng use),
+    # params must match the sequential grad-accum steps exactly
+    s2, m2 = multi(s2, super_batch, rngs_key)
+    np.testing.assert_allclose(np.asarray(s1.params["w"]),
+                               np.asarray(s2.params["w"]), atol=1e-6)
+    # aux metrics are averaged and never clobber loss/grad_norm
+    assert "aux_mse" in m2 and "loss" in m2 and "grad_norm" in m2
