@@ -49,7 +49,9 @@ def _fwd_kernel(
     k_ref,        # VMEM (1, BN, D)  — LUT-gathered
     v_ref,        # VMEM (1, BN, D)
     o_ref,        # VMEM (1, BM, D)
-    lse_ref,      # VMEM (1, M_BLOCKS, BM) — full-m block, row m written per step
+    lse_ref,      # VMEM (1, M_BLOCKS, BM) — full-m block; the m grid dim is
+                  #   declared "arbitrary" (sequential) so a Megacore split
+                  #   can never give two cores private partial copies of it
     m_scr,        # VMEM (BM, LANES) f32
     l_scr,        # VMEM (BM, LANES) f32
     acc_scr,      # VMEM (BM, D) f32
@@ -142,7 +144,10 @@ def _fwd_pallas(
             jax.ShapeDtypeStruct((BH, m_blocks, block_m), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # m must be sequential: every m iteration writes into the SAME
+            # full-m lse block, which under a parallel Megacore split would
+            # leave each core with a private partially-written copy
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(lut.reshape(BH, m_blocks * topk), qp, kp, vp)
@@ -306,7 +311,8 @@ def _fwd_pallas_dense(q, k, v, block_m, block_n, scale, interpret=False):
             jax.ShapeDtypeStruct((BH, m_blocks, block_m), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # m sequential: shared full-m lse block (see _fwd_pallas note)
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(qp, kp, vp)
@@ -472,15 +478,19 @@ def _dkdv_kernel(
 
     bh, n = pl.program_id(0), pl.program_id(1)
 
-    # membership gate: does query block m attend to key block n?  (the
-    # reference's KBID bitmap, SLA/kernel.py:167-237, realized as a scalar
-    # scan over the SMEM LUT row — topk ≤ ~32 scalar reads)
-    def scan_lut(j, hit):
-        return jnp.logical_or(hit, lut_ref[bh, m * topk + j] == n)
+    # membership COUNT: how many times does query block m attend to key
+    # block n? (the reference's KBID bitmap, SLA/kernel.py:167-237, realized
+    # as a scalar scan over the SMEM LUT row — topk ≤ ~32 scalar reads).
+    # Counting (not a boolean) keeps dk/dv consistent with the forward and
+    # dq kernels when a LUT row contains duplicated block ids (e.g. rows
+    # padded by repeating an id): each occurrence contributes once there,
+    # so it must be weighted here too.
+    def scan_lut(j, cnt):
+        return cnt + (lut_ref[bh, m * topk + j] == n).astype(jnp.int32)
 
-    selected = jax.lax.fori_loop(0, topk, scan_lut, False)
+    count = jax.lax.fori_loop(0, topk, scan_lut, 0)
 
-    @pl.when(selected)
+    @pl.when(count > 0)
     def _compute():
         k = k_ref[0]
         q = q_ref[0]
@@ -490,6 +500,7 @@ def _dkdv_kernel(
         key_pos = n * block_n + jax.lax.broadcasted_iota(jnp.int32, qk_t.shape, 0)
         qk_t = jnp.where(key_pos < L, qk_t, _NEG_INF)
         p_t = jnp.exp2(qk_t - lse_ref[0, m][None, :])      # [BN, BM]
+        p_t = p_t * count.astype(jnp.float32)
         dv_scr[...] += jax.lax.dot_general(
             p_t.astype(do_ref.dtype), do_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -512,6 +523,7 @@ def _dkdv_kernel(
 
 def _bwd_pallas(
     q, k, v, lut, o, lse, do, block_m: int, block_n: int, scale: float,
+    interpret: bool = False,
 ):
     BH, L, D = q.shape
     m_blocks = lut.shape[1]
@@ -644,7 +656,10 @@ def _bsa_bwd(block_m, block_n, scale, impl, bwd_impl, res, do):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if bwd_impl == "pallas":
-        dq, dk, dv = _bwd_pallas(q, k, v, lut, o, lse, do, block_m, block_n, scale)
+        # impl != "pallas" means we're on the off-TPU fallback path — run the
+        # backward kernels in interpreter mode (Mosaic can't lower on CPU)
+        dq, dk, dv = _bwd_pallas(q, k, v, lut, o, lse, do, block_m, block_n,
+                                 scale, interpret=impl != "pallas")
     else:
         dq, dk, dv = _bwd_xla(q, k, v, lut, o, lse, do, block_m, block_n, scale)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None)

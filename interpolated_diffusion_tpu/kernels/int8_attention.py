@@ -9,10 +9,11 @@ over HBM at half the bytes of bf16; P·V stays bf16 (the reference keeps V
 high-precision too — int8 V is the dominant quality loss in SageAttention).
 
 Quantization is SageAttention-style: per-ROW absmax int8 symmetric
-(`q_i8 = round(127·q/absmax_row)`), with the smooth-k mean subtraction done
-by the caller (get_block_map already computes it for the block scores). The
-dequant is a rank-1 outer product of the row scales applied to the int32
-block product — elementwise VPU work on a [BM, BN] tile.
+(`q_i8 = round(127·q/absmax_row)`), with the smooth-k mean subtraction
+applied to K before quantization (softmax-invariant; keeps int8 resolution
+for the key variation instead of a large common offset). The dequant is a
+rank-1 outer product of the row scales applied to the int32 block product —
+elementwise VPU work on a [BM, BN] tile.
 
 Backward: quantization is treated as identity (straight-through) and
 gradients are computed by the existing bf16 Pallas backward over the same
@@ -157,7 +158,8 @@ def _fwd_pallas_int8(
             jax.ShapeDtypeStruct((BH, m_blocks, block_m), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # m sequential: shared full-m lse block (see block_sparse note)
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(lut.reshape(BH, m_blocks * topk), qp, kp, vp, qsp, ksp)
@@ -194,7 +196,11 @@ def _int8_fwd_only(q, k, v, lut, block_m, block_n, scale, int8_matmul,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     q_i8, q_s = quantize_rows(q)
-    k_i8, k_s = quantize_rows(k)
+    # smooth-k (SageAttention): subtract the per-channel key mean before
+    # quantizing — softmax-invariant (shifts every logit in a query row by
+    # the same q·μ) but keeps the int8 range for the actual key variation
+    # instead of wasting it on a large common offset
+    k_i8, k_s = quantize_rows(k - k.mean(axis=-2, keepdims=True))
     return _fwd_pallas_int8(
         q_i8, k_i8, v.astype(jnp.bfloat16), q_s, k_s, lut,
         block_m, block_n, scale, int8_matmul, interpret,

@@ -30,8 +30,10 @@ def mean_pool_blocks(x: jnp.ndarray, block: int) -> jnp.ndarray:
     xb = xp.reshape(*lead, n_blocks, block, D)
     counts = jnp.clip(
         jnp.minimum(L - jnp.arange(n_blocks) * block, block), 1, block
-    ).astype(x.dtype)
-    return xb.sum(axis=-2) / counts[..., :, None]
+    ).astype(jnp.float32)
+    # f32 accumulation: summing up to `block` bf16 values in bf16 perturbs
+    # the pooled descriptors enough to flip marginal top-k block selections
+    return (xb.astype(jnp.float32).sum(axis=-2) / counts[..., :, None]).astype(x.dtype)
 
 
 def get_block_map(
@@ -124,8 +126,11 @@ class SparseLinearAttention(nn.Module):
                 qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
                 lut, self.block_q, self.block_k, None, self.impl, self.bwd_impl,
             )
-        # inputs' dtype = the model's compute dtype (bf16 on TPU) — matching
-        # the reference's autocast; f32 models keep f32 here
+        # linear branch in the inputs' dtype (bf16 on TPU, matching the
+        # reference's autocast; f32 models keep f32 here). The SPARSE branch
+        # above is bf16 regardless — the Pallas kernels are bf16-tiled with
+        # f32 softmax/accumulators (a TPU kernel contract, not a precision
+        # choice the model dtype controls).
         o_l = _linear_attention(qf, kf, vf, self.feature_map)
         proj = nn.Dense(
             D, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,

@@ -54,11 +54,10 @@ def ring_self_attention(
 
     q_pos = my_idx * Lq + jnp.arange(Lq)          # global query positions
 
-    def step(carry, s):
-        k_blk, v_blk, o, m, l = carry
-        # k_blk currently originated on device (my_idx + s) % n_dev:
-        # ppermute below sends shard i -> i-1, so after s rotations we hold
-        # the shard that started s positions to our right.
+    def accumulate(acc, k_blk, v_blk, s):
+        """Online-softmax merge of the key shard that ORIGINATED on device
+        (my_idx + s) % n_dev into the accumulators."""
+        o, m, l = acc
         src = (my_idx + s) % n_dev
         srcs = jnp.einsum(
             "bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32),
@@ -80,19 +79,28 @@ def ring_self_attention(
             "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
-        # rotate K/V one hop around the ring (shard i -> device i-1)
+        return o, m_new, l
+
+    def step(carry, s):
+        k_blk, v_blk, o, m, l = carry
+        # rotate K/V one hop (shard i -> device i-1) THEN accumulate: the
+        # local shard was consumed before the scan, so exactly n_dev - 1
+        # rotations are issued (a rotate-after-use loop would run one extra,
+        # pure-waste ppermute on the critical path)
         perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        return (k_blk, v_blk, o, m_new, l), None
+        o, m, l = accumulate((o, m, l), k_blk, v_blk, s)
+        return (k_blk, v_blk, o, m, l), None
 
     # accumulators start replicated but become device-varying in the loop;
     # pvary marks them so scan's carry typing agrees across iterations
     o0 = jax.lax.pvary(jnp.zeros((B, H, Lq, Dh), jnp.float32), axis_name)
     m0 = jax.lax.pvary(jnp.full((B, H, Lq), neg_inf, jnp.float32), axis_name)
     l0 = jax.lax.pvary(jnp.zeros((B, H, Lq), jnp.float32), axis_name)
+    o0, m0, l0 = accumulate((o0, m0, l0), k, v, 0)   # local shard, no comm
     (_, _, o, m, l), _ = jax.lax.scan(
-        step, (k, v, o0, m0, l0), jnp.arange(n_dev)
+        step, (k, v, o0, m0, l0), jnp.arange(1, n_dev)
     )
     o = o / jnp.maximum(l, 1e-30)[..., None]
     return o.astype(q.dtype)

@@ -14,8 +14,13 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# kernels whose OUTPUT features are split (column parallel)
-_COL_PARALLEL = ("qkv", "ff1", "t_fc1", "lvl_fc1", "fc1",
+# kernels whose OUTPUT features are split (column parallel).
+# NOTE: the maze transformer's fused "qkv" Dense is deliberately NOT here —
+# its packed 3·d_model output axis reshapes to (3, H, Dh) right after the
+# matmul, and 3 is not divisible by the model axis, so GSPMD would insert an
+# all-gather that negates the split. The WanDiT's separate q/k/v projections
+# split cleanly on heads (Megatron style).
+_COL_PARALLEL = ("ff1", "t_fc1", "lvl_fc1", "fc1",
                  "q_proj", "k_proj", "v_proj", "ffn_in")
 # kernels whose INPUT features are split (row parallel)
 _ROW_PARALLEL = ("attn_out", "ff2", "t_fc2", "lvl_fc2", "fc2",

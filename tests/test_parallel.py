@@ -85,7 +85,10 @@ def test_tp_sharding_rules(devices):
     }
     shardings = tp_param_sharding(params, mesh)
     b = shardings["block_0"]
-    assert b["qkv"]["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
+    # fused qkv stays replicated: its packed 3*d output axis reshapes to
+    # (3, H, Dh) right after the matmul, so a model-axis split would just
+    # trigger a GSPMD all-gather (see parallel/tp.py note)
+    assert b["qkv"]["kernel"].spec == jax.sharding.PartitionSpec()
     assert b["ff1"]["kernel"].spec == jax.sharding.PartitionSpec(None, "model")
     assert b["attn_out"]["kernel"].spec == jax.sharding.PartitionSpec("model", None)
     assert b["ff2"]["kernel"].spec == jax.sharding.PartitionSpec("model", None)
