@@ -82,9 +82,12 @@ def normalize_positions(
     pos: np.ndarray, occ: np.ndarray, flip_y: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """World xy → [0,1] using the wall-grid bounds (maze2d cell size 1,
-    walls at integer coordinates). Returns (norm_pos, pos_low, pos_scale)."""
+    cell (i, j) centered at world (x=j, y=i)). Returns (norm_pos, pos_low,
+    pos_scale). low=(0,0), scale=(w-1, h-1) matches the framework-wide cell
+    convention j = round(x * (w-1)) (eval/metrics.py:_pos_to_cell) and the
+    reference's grid-index bounds (dataset.py:505-512)."""
     h, w = occ.shape
-    pos_low = np.array([0.5, 0.5], dtype=np.float32)
+    pos_low = np.array([0.0, 0.0], dtype=np.float32)
     pos_scale = np.array([w - 1.0, h - 1.0], dtype=np.float32)
     out = (pos - pos_low) / pos_scale
     if flip_y:
@@ -189,6 +192,78 @@ def window_episodes(
     occ_out = np.broadcast_to(occ[None, None], (kept, 1, *occ.shape)).copy()
     return {"x": x_out[:kept], "occ": occ_out.astype(np.float32),
             "start_goal": sg_out[:kept]}
+
+
+def build_unified(paths: List[str], use_sdf: bool = True, shuffle_seed: int = 0
+                  ) -> Dict[str, np.ndarray]:
+    """Merge per-env prepared npz files onto one padded grid.
+
+    Capability parity with reference scripts/datasets/d4rl/
+    build_unified_prepared.py (resize_mode=pad, pad_scale_mode=none): each
+    env's occupancy is centered in the max (h, w) grid with wall padding, and
+    positions are remapped through the same pad offsets, so trajectories stay
+    aligned with their cells. Emits per-sample occ (+ sdf) like the reference.
+    """
+    from .maze import sdf_from_occupancy
+
+    loaded = []
+    for p in paths:
+        with np.load(p) as f:
+            loaded.append({k: f[k] for k in f.files})
+    th = max(d["occ"].shape[-2] for d in loaded)
+    tw = max(d["occ"].shape[-1] for d in loaded)
+
+    xs, occs, sgs, sdfs = [], [], [], []
+    for d in loaded:
+        occ = d["occ"][0, 0] if d["occ"].ndim == 4 else d["occ"]
+        h, w = occ.shape
+        pt, pl = (th - h) // 2, (tw - w) // 2
+        occ_p = np.ones((th, tw), dtype=np.float32)
+        occ_p[pt:pt + h, pl:pl + w] = occ
+
+        def remap(xy):
+            out = xy.copy()
+            out[..., 0] = (xy[..., 0] * (w - 1) + pl) / (tw - 1)
+            out[..., 1] = (xy[..., 1] * (h - 1) + pt) / (th - 1)
+            return out
+
+        x = d["x"].copy()
+        x[..., :2] = remap(x[..., :2])
+        if x.shape[-1] >= 4:
+            x[..., 2] = x[..., 2] * (w - 1) / (tw - 1)
+            x[..., 3] = x[..., 3] * (h - 1) / (th - 1)
+        sg = d["start_goal"].reshape(-1, 2, 2)
+        sg = remap(sg).reshape(-1, 4)
+        n = x.shape[0]
+        xs.append(x)
+        sgs.append(sg)
+        occs.append(np.broadcast_to(occ_p[None, None], (n, 1, th, tw)))
+        if use_sdf:
+            sdf_p = sdf_from_occupancy(occ_p)
+            sdfs.append(np.broadcast_to(sdf_p[None, None], (n, 1, th, tw)))
+
+    out = {
+        "x": np.concatenate(xs, axis=0).astype(np.float32),
+        "occ": np.concatenate(occs, axis=0).astype(np.float32),
+        "start_goal": np.concatenate(sgs, axis=0).astype(np.float32),
+    }
+    if use_sdf:
+        out["sdf"] = np.concatenate(sdfs, axis=0).astype(np.float32)
+    perm = np.random.RandomState(shuffle_seed).permutation(out["x"].shape[0])
+    return {k: v[perm] for k, v in out.items()}
+
+
+def main_unified(argv=None):
+    p = argparse.ArgumentParser("build_unified_prepared (TPU)")
+    p.add_argument("--inputs", type=str, nargs="+", required=True)
+    p.add_argument("--out_path", type=str, required=True)
+    p.add_argument("--use_sdf", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    data = build_unified(list(args.inputs), bool(args.use_sdf), args.seed)
+    np.savez_compressed(args.out_path, **data)
+    print(f"wrote {args.out_path}: " +
+          ", ".join(f"{k}{v.shape}" for k, v in data.items()))
 
 
 def main(argv=None):

@@ -172,6 +172,73 @@ def write_clip_cache(
         json.dump({"shards": shards, "total": len(samples)}, f, indent=2)
 
 
+class RawClipDataset:
+    """Annotation-driven raw-clip reader with decode-failure retry.
+
+    Data-robustness parity with reference didemo.py:118-149 / lsmdc.py:141-175:
+    a missing file or decode error advances to the NEXT annotation (wrapping)
+    up to `max_retries` times instead of killing a long prep run — video
+    corpora always contain a tail of corrupt/missing clips. Host-side only
+    (prep path; training consumes CachedClipDataset).
+    """
+
+    def __init__(self, annotations: List[Dict], video_dir: str, T: int,
+                 frame_size: int = 64, clip_seconds: Optional[float] = None,
+                 clip_strategy: str = "center", max_retries: int = 10,
+                 seed: int = 0):
+        if not annotations:
+            raise ValueError("RawClipDataset needs at least one annotation")
+        self.items = annotations
+        self.video_dir = video_dir
+        self.T = T
+        self.frame_size = frame_size
+        self.clip_seconds = clip_seconds
+        self.clip_strategy = clip_strategy
+        self.max_retries = max_retries
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def _resolve(self, video: str) -> Optional[str]:
+        cands = [video, f"{video}.mp4", f"{video}.avi", f"{video}.mkv",
+                 f"{video}.webm", f"{video}.mov"]
+        for c in cands:
+            path = os.path.join(self.video_dir, c)
+            if os.path.isfile(path):
+                return path
+        return None
+
+    def get(self, idx: int) -> Dict:
+        last_err: Optional[Exception] = None
+        for attempt in range(self.max_retries):
+            item = self.items[(idx + attempt) % len(self.items)]
+            path = self._resolve(str(item["video"]))
+            if path is None:
+                continue
+            rng = np.random.RandomState(self.seed + idx + attempt)
+            start, end = clip_window(float(item["start_sec"]),
+                                     float(item["end_sec"]),
+                                     self.clip_seconds, rng,
+                                     self.clip_strategy)
+            try:
+                frames = read_video_clip(path, start, end, self.T,
+                                         self.frame_size)
+            except ImportError:
+                raise   # no decoder at all — retrying can't help
+            except Exception as e:   # corrupt clip: try the next item
+                last_err = e
+                continue
+            return {"frames": frames, "text": str(item.get("caption", "")),
+                    "video": str(item["video"]),
+                    "start_sec": start, "end_sec": end}
+        raise RuntimeError(
+            f"no decodable clip within {self.max_retries} attempts starting "
+            f"at annotation {idx}" + (f" (last error: {last_err})"
+                                      if last_err else "")
+        )
+
+
 # ---------------------------------------------------------------------------
 # raw video decode (host-side, optional)
 # ---------------------------------------------------------------------------

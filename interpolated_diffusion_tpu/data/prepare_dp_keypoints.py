@@ -37,6 +37,11 @@ from .dataset import ParticleMazeDataset
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("prepare_dp_keypoints (TPU)")
     p.add_argument("--out_path", type=str, required=True)
+    p.add_argument("--prepared_path", type=str, default=None,
+                   help="annotate an EXISTING prepared npz (e.g. the d4rl.py "
+                        "output) with DP keypoint fields instead of "
+                        "generating particle-maze data — the reference's "
+                        "d4rl unified pipeline route")
     p.add_argument("--T", type=int, default=64)
     p.add_argument("--K", type=int, default=8)
     p.add_argument("--num_samples", type=int, default=10000)
@@ -84,11 +89,20 @@ def _load_dphi(path: str, bf16: bool = False):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    ds = ParticleMazeDataset(
-        num_samples=args.num_samples, h=args.maze_h, w=args.maze_w, T=args.T,
-        with_velocity=bool(args.with_velocity), use_sdf=bool(args.use_sdf),
-        cache_dir=args.cache_dir, seed=args.data_seed,
-    )
+    if args.prepared_path:
+        from .dataset import PreparedTrajectoryDataset
+
+        ds = PreparedTrajectoryDataset(args.prepared_path)
+        if ds.T != args.T:
+            raise ValueError(f"--T {args.T} != prepared T {ds.T}")
+        if args.use_sdf and "sdf" not in ds.arrays:
+            raise ValueError("--use_sdf 1 but prepared npz has no sdf")
+    else:
+        ds = ParticleMazeDataset(
+            num_samples=args.num_samples, h=args.maze_h, w=args.maze_w, T=args.T,
+            with_velocity=bool(args.with_velocity), use_sdf=bool(args.use_sdf),
+            cache_dir=args.cache_dir, seed=args.data_seed,
+        )
     precomp = build_segment_precompute(args.T, args.segment_cost_samples)
     seg_feat = build_segment_features(args.T, precomp.seg_i, precomp.seg_j)
     snr, weights = build_snr_weights(

@@ -220,8 +220,10 @@ def _int8_bwd(block_m, block_n, scale, int8_matmul, bwd_impl, interpret,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if bwd_impl == "pallas":
+        # `interpret` is set on the off-TPU fallback path — the backward
+        # kernels must run in interpreter mode too (Mosaic can't lower on CPU)
         dq, dk, dv = _bwd_pallas(q, k, v, lut, o, lse, do,
-                                 block_m, block_n, scale)
+                                 block_m, block_n, scale, interpret=interpret)
     else:
         dq, dk, dv = _bwd_xla(q, k, v, lut, o, lse, do,
                               block_m, block_n, scale)

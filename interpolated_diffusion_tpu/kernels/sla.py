@@ -94,16 +94,22 @@ class SparseLinearAttention(nn.Module):
     feature_map: str = "softmax"
     block_q: int = 256
     block_k: int = 256
-    impl: str = "pallas"
-    bwd_impl: str = "pallas"
+    impl: str = "auto"         # auto: pallas on TPU, xla elsewhere
+    bwd_impl: str = "auto"
     quant: str = "none"        # none | int8 (SageSLA analogue: int8 Q/K on
                                # the MXU int8 path, bf16 V, per-row scales)
+
+    def _resolve(self, setting: str) -> str:
+        if setting != "auto":
+            return setting
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
 
     @nn.compact
     def __call__(
         self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return_sparsity: bool = False,
     ):
+        impl, bwd_impl = self._resolve(self.impl), self._resolve(self.bwd_impl)
         B, H, L, D = q.shape
         dtype = q.dtype
         qf = q.reshape(B * H, L, D)
@@ -119,12 +125,12 @@ class SparseLinearAttention(nn.Module):
             o_s = int8_block_sparse_attention(
                 qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
                 vf.astype(jnp.bfloat16), lut, self.block_q, self.block_k,
-                None, True, self.bwd_impl, self.impl != "pallas",
+                None, True, bwd_impl, impl != "pallas",
             )
         else:
             o_s = block_sparse_attention(
                 qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16),
-                lut, self.block_q, self.block_k, None, self.impl, self.bwd_impl,
+                lut, self.block_q, self.block_k, None, impl, bwd_impl,
             )
         # linear branch in the inputs' dtype (bf16 on TPU, matching the
         # reference's autocast; f32 models keep f32 here). The SPARSE branch

@@ -156,3 +156,36 @@ class LatentStraightenerTokenTransformer(nn.Module):
         s0, s1 = self.encode(z0), self.encode(z1)
         s = (1.0 - alpha) * s0 + alpha * s1
         return self.decode(s), s
+
+
+def load_latent_straightener(path: str, sample_hw: Tuple[int, int] = (60, 104)):
+    """Meta-dispatched loader (reference latent_straightener.py:286).
+
+    Resolves a checkpoint dir (or run dir of ckpt_N subdirs), rebuilds the
+    conv or token variant from meta, and returns (model, params, meta).
+    """
+    import jax
+
+    from ..utils.checkpoint import load_checkpoint, read_meta
+    from .loading import resolve_ckpt
+
+    path = resolve_ckpt(path)
+    _, meta = read_meta(path)
+    if meta.get("stage") != "straightener":
+        raise ValueError(f"{path} is not a straightener checkpoint")
+    c = int(meta["in_channels"])
+    if meta.get("arch", "conv") == "conv":
+        model = LatentStraightener(
+            in_channels=c, hidden_channels=int(meta["hidden_channels"]),
+            blocks=int(meta["blocks"]),
+        )
+    else:
+        model = LatentStraightenerTokenTransformer(
+            in_channels=c, patch_size=int(meta["token_patch"]),
+            d_model=int(meta["token_d_model"]),
+            n_layers=int(meta["token_layers"]),
+        )
+    h, w = sample_hw
+    tmpl = model.init(jax.random.PRNGKey(0), jnp.zeros((1, c, h, w)))["params"]
+    _, payload = load_checkpoint(path, tmpl)
+    return model, payload["params"], meta

@@ -293,7 +293,11 @@ def load_reference_denoiser(path: str, kind: str, bf16: bool = True,
                           # "stage2_mode" (train_interp_levels.py:1192);
                           # native meta + sample/generate.py read "mode"
                           ("mode", "stage2_mode")]:
-            norm.setdefault(ours, meta.get(ref, None))
+            # only map when the reference key exists — planting explicit None
+            # would defeat downstream `.get(key, default)` fallbacks (e.g.
+            # sample/generate.py's il_meta.get("mode", "adj"))
+            if ours not in norm and meta.get(ref) is not None:
+                norm[ours] = meta[ref]
         norm.setdefault("maze_channels",
                         ",".join(str(c) for c in _ref_channels(meta, "s2_maze_channels")))
         norm.setdefault("causal", int(kind == "interp_causal"))

@@ -171,7 +171,7 @@ def make_causal_pipeline(
     return pipeline
 
 
-def _export_chunks(args, cond, gt, chunks):
+def _export_chunks(args, cond, gt, chunks, x_gen):
     """Per-chunk frames + GIF for sample 0 (reference :584-630)."""
     from ..eval.visualize import plot_occupancy_trajectories
 
@@ -197,7 +197,11 @@ def _export_chunks(args, cond, gt, chunks):
         print(f"gif export skipped ({e})")
     np.savez_compressed(
         os.path.join(args.out_dir, "samples.npz"),
-        x_gen=np.asarray(chunks[-1]), gt=gt, occ=occ, start_goal=sg,
+        # x_gen is the FINAL pipeline output (after the post-loop velocity
+        # recompute when recompute_vel and data_dim==4) — the last chunk
+        # predates that recompute, so its velocity channels would differ from
+        # the trajectories actually returned and scored
+        x_gen=np.asarray(x_gen), gt=gt, occ=occ, start_goal=sg,
         chunks=np.asarray(chunks),
     )
 
@@ -274,7 +278,8 @@ def main(argv=None):
         print(f"batch {bi}: {dt:.3f}s coll={float(m['collision_rate'].mean()):.4f} "
               f"goal={float(m['goal_dist'].mean()):.4f}")
         if bi == 0 and args.save_chunks:
-            _export_chunks(args, cond, np.asarray(batch["x"]), chunks)
+            _export_chunks(args, cond, np.asarray(batch["x"]), chunks,
+                           np.asarray(x_gen))
 
     with open(os.path.join(args.out_dir, "metrics.csv"), "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

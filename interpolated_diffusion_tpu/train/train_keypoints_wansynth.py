@@ -35,7 +35,9 @@ from .state import init_train_state, make_optimizer, make_train_step
 from .wansynth_common import (
     add_wan_model_args,
     add_wansynth_data_args,
+    WAN_HEAD_MOD_VERSION,
     build_wan,
+    check_wan_meta,
     init_wan_trainables,
     load_pretrained_into,
     make_wansynth_loader,
@@ -218,6 +220,8 @@ def main(argv=None):
         path = (args.resume if os.path.exists(os.path.join(args.resume, "meta.json"))
                 else latest_checkpoint(args.resume))
         if path:
+            from ..utils.checkpoint import read_meta as _read_meta
+            check_wan_meta(_read_meta(path)[1] or {})
             start_step, payload = load_checkpoint(path, trainable, state.opt_state)
             state = state._replace(
                 step=jnp.asarray(start_step, jnp.int32), params=payload["params"],
@@ -243,15 +247,19 @@ def main(argv=None):
         "text_dim": args.text_dim,
         "d_model": args.d_model, "n_layers": args.n_layers,
         "n_heads": args.n_heads, "d_ff": args.d_ff,
+        "wan_head_mod": WAN_HEAD_MOD_VERSION,
     }
     os.makedirs(args.out_dir, exist_ok=True)
     with open(os.path.join(args.out_dir, "run_config.json"), "w") as f:
         json.dump({"args": vars(args), "meta": meta}, f, indent=2)
 
+    from ..utils.memguard import check_cpu_mem
+
     batch = batch0
     t_prev = time.time()
     with mesh:
         for step in range(start_step, args.steps):
+            check_cpu_mem(args.max_cpu_mem_percent)
             dev = shard_batch(
                 {"latents": batch["latents"], "text_embed": batch["text_embed"]},
                 mesh,

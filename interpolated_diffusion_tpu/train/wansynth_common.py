@@ -13,6 +13,7 @@ from ..data.dataset import BatchLoader
 from ..data.wan_synth import SyntheticWanDataset, WanSynthTarDataset
 from ..models.lora import apply_lora, init_lora
 from ..models.wan_dit import FrameCondProjector, WanDiT
+from ..utils.memguard import add_memguard_args
 
 
 def add_wansynth_data_args(p: argparse.ArgumentParser) -> None:
@@ -26,6 +27,7 @@ def add_wansynth_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--latent_w", type=int, default=104)
     p.add_argument("--text_len", type=int, default=512)
     p.add_argument("--text_dim", type=int, default=4096)
+    add_memguard_args(p)
 
 
 def add_wan_model_args(p: argparse.ArgumentParser) -> None:
@@ -85,6 +87,39 @@ def make_wansynth_loader(args, seed: int):
 
 def _lora_form(args) -> str:
     return str(getattr(args, "lora_form", "merged"))
+
+
+# WanDiT head-modulation semantics version. "t_emb" = final-layer scale/shift
+# table modulated by the raw time embedding (diffusers-Wan semantics, required
+# for pretrained-weight compatibility). Checkpoints written before this stamp
+# existed were trained under the older t_mod[:, :2] semantics and would be
+# silently mis-evaluated by the current forward — check_wan_meta flags them.
+WAN_HEAD_MOD_VERSION = "t_emb"
+
+
+def check_wan_meta(meta: Dict) -> None:
+    """Warn when a Wan checkpoint predates the head-modulation fix.
+
+    Call after reading the meta of any checkpoint trained with ``use_wan``.
+    """
+    import warnings
+
+    if not meta.get("use_wan"):
+        return
+    ver = meta.get("wan_head_mod")
+    if ver is None:
+        warnings.warn(
+            "Wan checkpoint meta carries no 'wan_head_mod' stamp — it was "
+            "trained before the head-modulation change (t_mod[:, :2] -> "
+            "t_emb). Sampling with the current WanDiT forward will apply "
+            "mismatched head-modulation semantics to this checkpoint.",
+            stacklevel=2,
+        )
+    elif ver != WAN_HEAD_MOD_VERSION:
+        raise ValueError(
+            f"Wan checkpoint head-modulation version {ver!r} is incompatible "
+            f"with this build ({WAN_HEAD_MOD_VERSION!r})."
+        )
 
 
 def build_wan(args, bf16: bool = True) -> WanDiT:

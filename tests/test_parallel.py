@@ -95,6 +95,65 @@ def test_tp_sharding_rules(devices):
     assert b["norm1"]["scale"].spec == jax.sharding.PartitionSpec()
 
 
+def test_tp_train_step_matches_single_device(devices):
+    """A 4x2 DP×TP WanDiT train step must reproduce the single-device
+    params/loss — numerics, not just sharding specs. WanDiT's separate
+    q/k/v projections are the real TP target (parallel/tp.py:22-28)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from interpolated_diffusion_tpu.models.wan_dit import WanDiT
+    from interpolated_diffusion_tpu.train.state import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    C, T, H, W = 4, 2, 4, 4
+    model = WanDiT(dim=32, n_layers=2, n_heads=2, ffn_dim=64, in_channels=C,
+                   out_channels=C, text_dim=16, freq_dim=16,
+                   dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    B = 8
+    batch = {
+        "lat": jax.random.normal(key, (B, C, T, H, W)),
+        "txt": jax.random.normal(jax.random.fold_in(key, 1), (B, 8, 16)),
+    }
+    params = model.init(key, batch["lat"][:1], jnp.zeros((1,), jnp.int32),
+                        batch["txt"][:1])["params"]
+
+    def loss_fn(p, b, rng):
+        t = jax.random.randint(rng, (b["lat"].shape[0],), 0, 10)
+        out = model.apply({"params": p}, b["lat"], t, b["txt"])
+        return jnp.mean(out ** 2), {}
+
+    tx = make_optimizer(1e-3)
+    step = make_train_step(loss_fn, tx, grad_accum=1, donate=False)
+
+    state1 = init_train_state(params, tx, use_ema=False)
+    state1, m1 = step(state1, batch, jax.random.PRNGKey(2))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        p_shard = tp_param_sharding(params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(p_shard)[0]
+        col = [s.spec for path, s in flat
+               if "q_proj" in jax.tree_util.keystr(path)
+               and jax.tree_util.keystr(path).endswith("kernel']")]
+        assert col and all(s == P(None, "model") for s in col), col
+        tp_params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        state2 = init_train_state(tp_params, tx, use_ema=False)
+        state2 = state2._replace(
+            opt_state=jax.device_put(state2.opt_state,
+                                     NamedSharding(mesh, P())))
+        state2, m2 = step(state2, shard_batch(batch, mesh),
+                          jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(state1.params)
+    l2 = jax.tree_util.tree_leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_graft_dryrun_multichip(devices):
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
