@@ -309,4 +309,9 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "unified":
+        main_unified(_sys.argv[2:])
+    else:
+        main()

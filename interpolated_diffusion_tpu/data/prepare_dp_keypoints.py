@@ -77,12 +77,11 @@ def _load_dphi(path: str, bf16: bool = False):
         use_sdf=bool(meta["use_sdf"]), use_start_goal=bool(meta["cond_start_goal"]),
         maze_channels=tuple(int(c) for c in meta["maze_channels"].split(",")),
     )
-    tmpl = model.init(
-        jax.random.PRNGKey(0),
-        {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
-         "start_goal": jnp.zeros((1, 4))},
-        jnp.zeros((1, 3)),
-    )["params"]
+    cond0 = {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
+             "start_goal": jnp.zeros((1, 4))}
+    if meta.get("use_sdf"):
+        cond0["sdf"] = jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"]))
+    tmpl = model.init(jax.random.PRNGKey(0), cond0, jnp.zeros((1, 3)))["params"]
     _, payload = load_checkpoint(path, tmpl)
     return model, payload["params"], meta
 

@@ -72,6 +72,8 @@ def main(argv=None):
             batch = ds.get_batch(rng.randint(0, len(ds), size=args.batch))
             cond = {"occ": jnp.asarray(batch["occ"]),
                     "start_goal": jnp.asarray(batch["start_goal"])}
+            if "sdf" in batch and meta.get("use_sdf"):
+                cond["sdf"] = jnp.asarray(batch["sdf"])
             key, k = jax.random.split(key)
             m, z = level_error(k, jnp.asarray(batch["x"]), cond, s)
             ms.append(float(m))

@@ -36,6 +36,14 @@ def _maze_ch(meta) -> Tuple[int, ...]:
     return tuple(int(c) for c in str(meta["maze_channels"]).split(","))
 
 
+def _cond_template(meta) -> dict:
+    cond = {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
+            "start_goal": jnp.zeros((1, 4))}
+    if meta.get("use_sdf"):
+        cond["sdf"] = jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"]))
+    return cond
+
+
 def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
     if _is_torch_ckpt(path):
         # a reference PyTorch checkpoint: convert weights + meta on the fly
@@ -61,8 +69,7 @@ def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
         jax.random.PRNGKey(0),
         jnp.zeros((1, K, data_dim)), jnp.zeros((1,), dtype=jnp.int32),
         jnp.zeros((1, K), dtype=jnp.int32), jnp.zeros((1, K, data_dim), dtype=bool),
-        {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
-         "start_goal": jnp.zeros((1, 4))},
+        _cond_template(meta),
         T,
     )["params"]
     _, payload = load_checkpoint(path, tmpl)
@@ -98,8 +105,7 @@ def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
         jax.random.PRNGKey(0),
         jnp.zeros((1, T, data_dim)), jnp.zeros((1,), dtype=jnp.int32),
         jnp.zeros((1, T, mc)) if mc > 1 else jnp.zeros((1, T), dtype=bool),
-        {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
-         "start_goal": jnp.zeros((1, 4))},
+        _cond_template(meta),
     )["params"]
     _, payload = load_checkpoint(path, tmpl)
     params = payload.get("ema") if (use_ema and "ema" in payload) else payload["params"]
@@ -127,8 +133,7 @@ def load_selector_model(path: str, bf16: bool = True):
         maze_channels=_maze_ch(meta),
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
-    cond = {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
-            "start_goal": jnp.zeros((1, 4))}
+    cond = _cond_template(meta)
     if meta.get("use_level"):
         cond["level"] = jnp.zeros((1, 1))
     tmpl = model.init(jax.random.PRNGKey(0), cond)["params"]
@@ -153,9 +158,7 @@ def load_segment_cost_model(path: str, bf16: bool = True):
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
     tmpl = model.init(
-        jax.random.PRNGKey(0),
-        {"occ": jnp.zeros((1, 1, meta["maze_h"], meta["maze_w"])),
-         "start_goal": jnp.zeros((1, 4))},
+        jax.random.PRNGKey(0), _cond_template(meta),
         jnp.zeros((1, meta["seg_feat_dim"])),
     )["params"]
     _, payload = load_checkpoint(path, tmpl)

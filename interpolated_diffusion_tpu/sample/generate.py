@@ -434,6 +434,10 @@ def main(argv=None):
         batch = ds.get_batch(indices)
         cond = {"occ": jnp.asarray(batch["occ"]),
                 "start_goal": jnp.asarray(batch["start_goal"])}
+        if "sdf" in batch and (kp_meta.get("use_sdf") or il_meta.get("use_sdf")
+                               or (selector is not None
+                                   and sel_meta.get("use_sdf"))):
+            cond["sdf"] = jnp.asarray(batch["sdf"])
         sel_logits = None
         if selector is not None:
             sel_cond = dict(cond)

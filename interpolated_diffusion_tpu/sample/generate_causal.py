@@ -261,6 +261,8 @@ def main(argv=None):
         batch = ds.get_batch(host_rng.randint(0, len(ds), size=args.batch))
         cond = {"occ": jnp.asarray(batch["occ"]),
                 "start_goal": jnp.asarray(batch["start_goal"])}
+        if "sdf" in batch and (kp_meta.get("use_sdf") or il_meta.get("use_sdf")):
+            cond["sdf"] = jnp.asarray(batch["sdf"])
         key, k_b = jax.random.split(key)
         t0 = time.time()
         out = pipeline(kp_params, interp_params, k_b, cond)

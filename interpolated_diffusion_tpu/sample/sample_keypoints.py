@@ -94,6 +94,8 @@ def main(argv=None):
         batch = ds.get_batch(host_rng.randint(0, len(ds), size=args.batch))
         cond = {"occ": jnp.asarray(batch["occ"]),
                 "start_goal": jnp.asarray(batch["start_goal"])}
+        if "sdf" in batch and meta.get("use_sdf"):
+            cond["sdf"] = jnp.asarray(batch["sdf"])
         idx = jnp.asarray(sample_idx_policy(
             host_rng, f"{args.kp_index_mode}:1.0", args.batch, T, K))
         key, k_b = jax.random.split(key)

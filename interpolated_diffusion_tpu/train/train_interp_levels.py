@@ -235,14 +235,17 @@ def make_bootstrap_sampler(args, data_dim: int):
     )
     K = int(meta["K"])
     k_init = jax.random.PRNGKey(0)
+    cond0 = {"occ": jnp.zeros((1, 1, args.maze_h, args.maze_w)),
+             "start_goal": jnp.zeros((1, 4))}
+    if meta.get("use_sdf"):
+        cond0["sdf"] = jnp.zeros((1, 1, args.maze_h, args.maze_w))
     tmpl = kp_model.init(
         k_init,
         jnp.zeros((1, K, data_dim)),
         jnp.zeros((1,), dtype=jnp.int32),
         jnp.zeros((1, K), dtype=jnp.int32),
         jnp.zeros((1, K, data_dim), dtype=bool),
-        {"occ": jnp.zeros((1, 1, args.maze_h, args.maze_w)),
-         "start_goal": jnp.zeros((1, 4))},
+        cond0,
         meta["T"],
     )["params"]
     _, payload = load_checkpoint(path, tmpl)
@@ -467,13 +470,16 @@ def main(argv=None):
     sample_batch = next(loader)
 
     mc = mask_channels_for(args)
+    init_cond = {"occ": jnp.asarray(sample_batch["occ"][:2]),
+                 "start_goal": jnp.asarray(sample_batch["start_goal"][:2])}
+    if args.use_sdf and "sdf" in sample_batch:
+        init_cond["sdf"] = jnp.asarray(sample_batch["sdf"][:2])
     params = model.init(
         k_init,
         jnp.zeros((2, args.T, data_dim)),
         jnp.zeros((2,), dtype=jnp.int32),
         jnp.zeros((2, args.T, mc)) if mc > 1 else jnp.zeros((2, args.T), dtype=bool),
-        {"occ": jnp.asarray(sample_batch["occ"][:2]),
-         "start_goal": jnp.asarray(sample_batch["start_goal"][:2])},
+        init_cond,
     )["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"model params: {n_params/1e6:.2f}M | mesh: {mesh.shape}")

@@ -140,6 +140,8 @@ def main(argv=None):
     mesh = make_mesh_for_batch(args.batch, n_data=args.n_data_shards)
     init_cond = {"occ": jnp.asarray(batch0["occ"][:2]),
                  "start_goal": jnp.asarray(batch0["start_goal"][:2])}
+    if args.use_sdf and "sdf" in batch0:
+        init_cond["sdf"] = jnp.asarray(batch0["sdf"][:2])
     if args.use_level:
         init_cond["level"] = jnp.zeros((2, 1))
     params = model.init(jax.random.PRNGKey(args.seed), init_cond)["params"]

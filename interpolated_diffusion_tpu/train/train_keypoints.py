@@ -197,6 +197,8 @@ def main(argv=None):
         "occ": jnp.asarray(sample_batch["occ"][:2]),
         "start_goal": jnp.asarray(sample_batch["start_goal"][:2]),
     }
+    if args.use_sdf and "sdf" in sample_batch:
+        init_cond["sdf"] = jnp.asarray(sample_batch["sdf"][:2])
     params = model.init(
         k_init,
         jnp.zeros((2, args.K, data_dim)),
@@ -288,11 +290,11 @@ def main(argv=None):
                     sel_idx = None
                     if selector_fn is not None:
                         rng, k_sel = jax.random.split(rng)
-                        sel_idx = np.asarray(selector_fn(
-                            {"occ": jnp.asarray(batch["occ"]),
-                             "start_goal": jnp.asarray(batch["start_goal"])},
-                            k_sel,
-                        ))
+                        sel_cond = {"occ": jnp.asarray(batch["occ"]),
+                                    "start_goal": jnp.asarray(batch["start_goal"])}
+                        if sel_meta.get("use_sdf") and "sdf" in batch:
+                            sel_cond["sdf"] = jnp.asarray(batch["sdf"])
+                        sel_idx = np.asarray(selector_fn(sel_cond, k_sel))
                     dev_batch["idx"] = sample_idx_policy(
                         host_rng, args.idx_policy, args.batch, args.T, args.K, kp,
                         args.uniform_jitter, sel_idx,

@@ -96,11 +96,11 @@ def main(argv=None):
 
     mesh = make_mesh_for_batch(args.batch, n_data=args.n_data_shards)
     batch0 = next(loader)
-    params = model.init(
-        jax.random.PRNGKey(args.seed),
-        {"occ": jnp.asarray(batch0["occ"][:2]), "start_goal": jnp.asarray(batch0["start_goal"][:2])},
-        seg_feat,
-    )["params"]
+    cond0 = {"occ": jnp.asarray(batch0["occ"][:2]),
+             "start_goal": jnp.asarray(batch0["start_goal"][:2])}
+    if "sdf" in batch0:
+        cond0["sdf"] = jnp.asarray(batch0["sdf"][:2])
+    params = model.init(jax.random.PRNGKey(args.seed), cond0, seg_feat)["params"]
     tx = make_optimizer(args.lr, args.weight_decay, args.grad_clip)
     state = init_train_state(params, tx, use_ema=False)
     start_step = 0
