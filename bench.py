@@ -105,11 +105,29 @@ def main():
         if ref:
             vs_baseline = sps / float(ref)
 
+    # Analytic e2e MFU estimate (self-contained check of the BASELINE.md
+    # "faster than an RTX 4090" claim): matmul FLOPs actually executed per
+    # sample through the whole jitted pipeline, over the chip's bf16 peak.
+    per_tok_layer = 4 * 2 * D_MODEL ** 2 + 2 * 2 * D_MODEL * D_FF  # attn proj + ffn
+    attn_scores = lambda L: 2 * 2 * L * D_MODEL                     # QK^T + PV per token
+    stage1 = DDIM_STEPS * K * N_LAYERS * (per_tok_layer + attn_scores(K))
+    stage2 = LEVELS * T * N_LAYERS * (per_tok_layer + attn_scores(T))
+    cnn = 0
+    cin = 1
+    for cout in MAZE_CH:                                            # 3x3 convs, stride 1
+        cnn += 2 * 9 * cin * cout * GRID * GRID
+        cin = cout
+    flops_per_sample = stage1 + stage2 + 2 * cnn                    # 2 cond encoders
+    v5e_peak = 197e12
+    mfu_est = sps * flops_per_sample / v5e_peak
+
     print(json.dumps({
         "metric": "e2e samples/sec (T=64,K=8,DDIM-20,stage2 levels=3)",
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "mfu_est": round(mfu_est, 4),
+        "flops_per_sample": flops_per_sample,
     }))
 
 

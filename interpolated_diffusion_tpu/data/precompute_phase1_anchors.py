@@ -23,7 +23,7 @@ from ..ops.schedules import make_schedule
 from ..utils.checkpoint import read_meta, load_checkpoint
 from ..utils.video_tokens import patchify_latents, unpatchify_tokens
 from ..models.loading import resolve_ckpt
-from .wan_synth import SyntheticWanDataset, WanSynthTarDataset, write_tar_shard
+from .wan_synth import SyntheticWanDataset, write_tar_shard
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -145,56 +145,64 @@ def main(argv=None):
         z, _ = jax.lax.scan(body, z, t_pairs)
         return unpatchify_tokens(z, p_sz, spatial)   # [B,K,C,H,W]
 
+    # Output shards MIRROR the source shard basenames: the trainer-side
+    # key-join (wan_synth.py WanSynthTarDataset._stream) pairs each data shard
+    # with `anchors_root/<same basename>`, which also keeps the join aligned
+    # when shard order is shuffled. Synthetic data has no source shards, so it
+    # gets numbered shards of --shard_size (joined in order, never shuffled).
     if args.data == "tar":
-        stream = iter(WanSynthTarDataset(args.data_root, T=T, shuffle_shards=False,
-                                         shuffle_buffer=1, process_split=False))
-        def batches():
-            items = []
-            for s in stream:
-                items.append(s)
-                if len(items) == args.batch:
-                    yield items
-                    items = []
-            if items:
-                yield items
+        from .wan_synth import iter_tar_samples, list_shards
+
+        def shard_groups():
+            for sh in list_shards(args.data_root):
+                yield os.path.basename(sh), iter_tar_samples(sh)
     else:
         ds = SyntheticWanDataset(n_samples=args.num_samples, T=T, C=C, H=H, W=W,
                                  text_dim=int(meta["text_dim"]), seed=args.seed)
-        def batches():
-            for lo in range(0, args.num_samples, args.batch):
-                idxs = range(lo, min(args.num_samples, lo + args.batch))
-                yield [{"__key__": f"{i:08d}", **ds.get(i)} for i in idxs]
+
+        def shard_groups():
+            for shard_id, lo in enumerate(range(0, args.num_samples, args.shard_size)):
+                idxs = range(lo, min(args.num_samples, lo + args.shard_size))
+                yield (f"anchors_{shard_id:05d}.tar",
+                       iter({"__key__": f"{i:08d}", **ds.get(i)} for i in idxs))
+
+    def batched(it):
+        items = []
+        for s in it:
+            items.append(s)
+            if len(items) == args.batch:
+                yield items
+                items = []
+        if items:
+            yield items
 
     key = jax.random.PRNGKey(args.seed)
-    out_samples, shard_id, done = [], 0, 0
+    done, n_shards = 0, 0
     os.makedirs(args.out_root, exist_ok=True)
-    for items in batches():
-        B = len(items)
-        key, k_idx, k_s = jax.random.split(key, 3)
-        idx, _ = sample_fixed_k_indices_uniform_batch(
-            k_idx, B, T, K, ensure_endpoints=False, jitter=0.5)
-        text = jnp.stack([jnp.asarray(it["text_embed"]) for it in items])
-        anchors = np.asarray(sample_anchors(k_s, idx, text))
-        idx_np = np.asarray(idx)
-        for b, it in enumerate(items):
-            out_samples.append({
-                "__key__": it["__key__"],
-                "anchors": anchors[b].astype(np.float32),
-                "anchor_idx": idx_np[b].astype(np.int32),
-            })
-        done += B
-        if len(out_samples) >= args.shard_size:
-            write_tar_shard(
-                os.path.join(args.out_root, f"anchors_{shard_id:05d}.tar"),
-                out_samples)
-            out_samples, shard_id = [], shard_id + 1
-        print(f"anchored {done} samples")
-    if out_samples:
-        write_tar_shard(
-            os.path.join(args.out_root, f"anchors_{shard_id:05d}.tar"), out_samples)
+    for out_name, sample_iter in shard_groups():
+        out_samples = []
+        for items in batched(sample_iter):
+            B = len(items)
+            key, k_idx, k_s = jax.random.split(key, 3)
+            idx, _ = sample_fixed_k_indices_uniform_batch(
+                k_idx, B, T, K, ensure_endpoints=False, jitter=0.5)
+            text = jnp.stack([jnp.asarray(it["text_embed"]) for it in items])
+            anchors = np.asarray(sample_anchors(k_s, idx, text))
+            idx_np = np.asarray(idx)
+            for b, it in enumerate(items):
+                out_samples.append({
+                    "__key__": it["__key__"],
+                    "anchors": anchors[b].astype(np.float32),
+                    "anchor_idx": idx_np[b].astype(np.int32),
+                })
+            done += B
+            print(f"anchored {done} samples")
+        if out_samples:
+            write_tar_shard(os.path.join(args.out_root, out_name), out_samples)
+            n_shards += 1
     with open(os.path.join(args.out_root, "prep_config.json"), "w") as f:
         json.dump({"args": vars(args), "meta": meta}, f, indent=2, default=str)
-    print(f"wrote {shard_id + 1} shards to {args.out_root}")
+    print(f"wrote {n_shards} shards to {args.out_root}")
 
 
 if __name__ == "__main__":

@@ -46,27 +46,29 @@ def precompute_teacher_shards(
     teacher: Optional[object] = None, shard_size: int = 64,
 ) -> int:
     """Write `{key}.teacher_latents.npy` shards for every clip (mid-frames
-    between consecutive uniform anchors from the given teacher)."""
+    between consecutive uniform anchors from the given teacher).
+
+    Output shards mirror the source shard basenames — the trainer-side
+    key-join (wan_synth.py: `teacher_root/<same basename>`) depends on it,
+    including under shuffled shard order. `shard_size` is therefore implied
+    by the source sharding and kept only for signature compatibility."""
     import os
 
-    from ..data.wan_synth import WanSynthTarDataset, write_tar_shard
+    from ..data.wan_synth import iter_tar_samples, list_shards, write_tar_shard
 
     teacher = teacher or LerpTeacher()
-    ds = WanSynthTarDataset(data_root, T=T, shuffle_shards=False,
-                            shuffle_buffer=1, process_split=False)
-    out, shard_id, n = [], 0, 0
-    for sample in ds:
-        lat = np.asarray(sample["latents"])
-        mids = np.stack([
-            teacher.interpolate(lat[t], lat[min(t + 2, lat.shape[0] - 1)])
-            for t in range(0, lat.shape[0] - 1, 2)
-        ])
-        out.append({"__key__": sample["__key__"],
-                    "teacher_latents": mids.astype(np.float32)})
-        n += 1
-        if len(out) >= shard_size:
-            write_tar_shard(os.path.join(out_root, f"teacher_{shard_id:05d}.tar"), out)
-            out, shard_id = [], shard_id + 1
-    if out:
-        write_tar_shard(os.path.join(out_root, f"teacher_{shard_id:05d}.tar"), out)
+    n = 0
+    for sh in list_shards(data_root):
+        out = []
+        for sample in iter_tar_samples(sh):
+            lat = np.asarray(sample["latents"])
+            mids = np.stack([
+                teacher.interpolate(lat[t], lat[min(t + 2, lat.shape[0] - 1)])
+                for t in range(0, lat.shape[0] - 1, 2)
+            ])
+            out.append({"__key__": sample["__key__"],
+                        "teacher_latents": mids.astype(np.float32)})
+            n += 1
+        if out:
+            write_tar_shard(os.path.join(out_root, os.path.basename(sh)), out)
     return n

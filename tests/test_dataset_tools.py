@@ -1,0 +1,67 @@
+"""Dataset acquisition/precompute tooling: fetch planners (zero-egress) and
+the teacher-shard precompute CLI (reference scripts/datasets parity)."""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts",
+                                "datasets"))
+
+from interpolated_diffusion_tpu.data.precompute_teacher import main as teacher_main
+from interpolated_diffusion_tpu.data.wan_synth import (
+    WanSynthTarDataset,
+    write_tar_shard,
+)
+
+
+def test_didemo_fetch_plan(capsys):
+    import fetch_didemo
+
+    fetch_didemo.main(["metadata", "--data_dir", "/tmp/nonexistent_didemo",
+                       "--plan", "1"])
+    out = capsys.readouterr().out
+    assert "train_data.json" in out and "GET https://" in out
+    # yfcc hash -> bucket path convention
+    url = fetch_didemo.aws_url("abcdef0123456789")
+    assert url.endswith("/abc/def/abcdef0123456789.mp4")
+
+
+def test_wan_synth_download_plan(capsys):
+    import download_wan_synth
+
+    download_wan_synth.main(["--plan", "1"])
+    out = capsys.readouterr().out
+    assert "snapshot_download" in out and "shard-*.tar" in out
+
+
+def test_teacher_precompute_cli_roundtrip(tmp_path):
+    T, C, H, W = 5, 2, 4, 4
+    data_root = tmp_path / "data"
+    out_root = tmp_path / "teacher"
+    rng = np.random.RandomState(0)
+    samples = [
+        {"__key__": f"clip{i:04d}",
+         "latents": rng.randn(T, C, H, W).astype(np.float32),
+         "text_embed": rng.randn(3, 8).astype(np.float32)}
+        for i in range(4)
+    ]
+    write_tar_shard(str(data_root / "shard_00000.tar"), samples)
+
+    teacher_main(["--data_root", str(data_root), "--out_root", str(out_root),
+                  "--T", str(T), "--teacher", "lerp"])
+    # teacher shards mirror the source shard basenames (the key-join contract)
+    assert sorted(os.listdir(out_root)) == ["shard_00000.tar"]
+
+    # key-join the teacher stream back to the data and check the lerp values
+    ds = WanSynthTarDataset(str(data_root), T=T, shuffle_shards=False,
+                            shuffle_buffer=1, teacher_root=str(out_root),
+                            process_split=False)
+    n = 0
+    for s in ds:
+        lat = np.asarray(s["latents"])
+        tl = np.asarray(s["teacher_latents"])
+        want = 0.5 * (lat[0] + lat[2])
+        np.testing.assert_allclose(tl[0], want, atol=1e-6)
+        n += 1
+    assert n == 4

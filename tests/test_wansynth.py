@@ -137,11 +137,9 @@ def test_phase2_trainer_with_precomputed_anchors(tmp_path):
               "--out_root", anchors_root, "--data", "tar",
               "--data_root", data_root, "--batch", "4", "--ddim_steps", "2",
               "--shard_size", "8", "--bf16", "0"])
+    # anchor shards mirror the data shard basenames (the key-join contract)
     shards = [f for f in os.listdir(anchors_root) if f.endswith(".tar")]
-    assert shards
-    # rename anchor shard to match data shard basename for the join
-    os.rename(os.path.join(anchors_root, shards[0]),
-              os.path.join(anchors_root, "shard_00000.tar"))
+    assert shards == ["shard_00000.tar"]
     p2_dir = str(tmp_path / "p2")
     p2_main(TINY_WAN + ["--K_min", "3", "--levels", "2", "--mode", "adj",
                         "--lora_rank", "2", "--data", "tar",
