@@ -64,6 +64,15 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", type=int, default=0)
     p.add_argument("--out_json", type=str, default=None)
+    p.add_argument("--rgb", type=int, default=0,
+                   help="also decode 4-channel SD latents through the flax "
+                        "SD VAE and report pixel-space PSNR/SSIM (reference "
+                        "eval_flow_interpolator_wansynth_rgb.py; 16-channel "
+                        "Wan latents have no in-repo decoder — latent "
+                        "metrics only for those)")
+    p.add_argument("--vae_sd", type=str, default=None,
+                   help="diffusers SD-VAE checkpoint dir/file for --rgb; "
+                        "random-init decoder if omitted (smoke only)")
     args = p.parse_args(argv)
 
     interp_fn = None
@@ -115,7 +124,27 @@ def main(argv=None):
         rng = np.random.RandomState(args.seed)
         get_batch = lambda _: ds.get_batch(rng.randint(0, len(ds), args.batch))
 
+    decode_fn = None
+    if args.rgb:
+        if args.latent_c != 4:
+            raise SystemExit(
+                f"--rgb needs 4-channel SD latents (got C={args.latent_c}); "
+                "16-channel Wan latents have no in-repo decoder")
+        from ..models.sd_vae import SDVAE, load_sd_vae_safetensors
+
+        vae = SDVAE()
+        if args.vae_sd:
+            vae_params = load_sd_vae_safetensors(args.vae_sd)
+        else:
+            vae_params = vae.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 1, 3, args.latent_h * 8, args.latent_w * 8)),
+            )["params"]
+        decode_fn = jax.jit(lambda z: vae.apply(
+            {"params": vae_params}, z, method=SDVAE.decode))
+
     key = jax.random.PRNGKey(args.seed)
+    rgb_psnrs, rgb_psnrs_lerp, rgb_ssims, rgb_ssims_lerp = [], [], [], []
     deltas, l1s, l1s_lerp, psnrs, ssims = [], [], [], [], []
     for bi in range(args.num_batches):
         batch = get_batch(bi)
@@ -137,6 +166,16 @@ def main(argv=None):
             deltas.append(l1 - l1_l)
             psnrs.append(psnr(p_np, t_np))
             ssims.append(ssim(p_np, t_np))
+        if decode_fn is not None:
+            rgb_pred = np.asarray(decode_fn(pred))
+            rgb_lerp = np.asarray(decode_fn(lerp))
+            rgb_gt = np.asarray(decode_fn(lat))
+            for b in range(lat.shape[0]):
+                hb = hidden[b]
+                rgb_psnrs.append(psnr(rgb_pred[b][hb], rgb_gt[b][hb], 1.0))
+                rgb_psnrs_lerp.append(psnr(rgb_lerp[b][hb], rgb_gt[b][hb], 1.0))
+                rgb_ssims.append(ssim(rgb_pred[b][hb], rgb_gt[b][hb]))
+                rgb_ssims_lerp.append(ssim(rgb_lerp[b][hb], rgb_gt[b][hb]))
     deltas = np.asarray(deltas)
     report = {
         "interpolator": args.interpolator,
@@ -149,6 +188,13 @@ def main(argv=None):
         "outliers_worse_than_lerp": int((deltas > args.outlier_delta).sum()),
         "n_samples": int(deltas.size),
     }
+    if rgb_psnrs:
+        report.update({
+            "rgb_psnr": float(np.mean(rgb_psnrs)),
+            "rgb_psnr_lerp": float(np.mean(rgb_psnrs_lerp)),
+            "rgb_ssim": float(np.mean(rgb_ssims)),
+            "rgb_ssim_lerp": float(np.mean(rgb_ssims_lerp)),
+        })
     out = json.dumps(report, indent=2)
     print(out)
     if args.out_json:
