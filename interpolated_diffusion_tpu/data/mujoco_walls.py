@@ -54,6 +54,8 @@ def walls_from_geom_arrays(
     """Extract wall footprint polygons ([4, 2] xy, one per wall) or None."""
     geom_type = np.asarray(geom_type).astype(np.int64).reshape(-1)
     n = geom_type.shape[0]
+    if n == 0:
+        return None
     geom_size = np.asarray(geom_size, np.float32).reshape(n, -1)
     geom_pos = np.asarray(geom_pos, np.float32).reshape(n, -1)[:, :3]
     geom_quat = np.asarray(geom_quat, np.float32).reshape(n, -1)[:, :4]
@@ -64,8 +66,9 @@ def walls_from_geom_arrays(
                else str(names[i]).lower() for i in range(n)]
     is_wall_name = np.array(
         [any(w in s for w in _WALL_WORDS) and not any(f in s for f in _FLOOR_WORDS)
-         for s in lowered])
-    is_floor_name = np.array([any(f in s for f in _FLOOR_WORDS) for s in lowered])
+         for s in lowered], dtype=bool)
+    is_floor_name = np.array([any(f in s for f in _FLOOR_WORDS) for s in lowered],
+                             dtype=bool)
     is_box = geom_type == GEOM_BOX
 
     cand = is_wall_name & is_box

@@ -148,8 +148,10 @@ def main(argv=None):
     # Output shards MIRROR the source shard basenames: the trainer-side
     # key-join (wan_synth.py WanSynthTarDataset._stream) pairs each data shard
     # with `anchors_root/<same basename>`, which also keeps the join aligned
-    # when shard order is shuffled. Synthetic data has no source shards, so it
-    # gets numbered shards of --shard_size (joined in order, never shuffled).
+    # when shard order is shuffled. Synthetic data has no source shards and
+    # CANNOT be joined downstream (make_wansynth_loader raises) — materialize
+    # it with data/make_synth_tars.py first and run this tool in tar mode;
+    # the synthetic branch stays for standalone anchor inspection only.
     if args.data == "tar":
         from .wan_synth import iter_tar_samples, list_shards
 

@@ -52,8 +52,10 @@ def main(argv=None):
     if meta.get("use_level"):
         cond["level"] = jnp.full((B, 1), K / max(1, T - 1))
 
-    logits = model.apply({"params": params}, cond)
-    pred = np.asarray(select_topk_indices(logits, K))
+    predict = jax.jit(
+        lambda cond: select_topk_indices(model.apply({"params": params}, cond), K)
+    )
+    pred = np.asarray(predict(cond))
 
     true_s = np.sort(true, axis=1)
     pred_s = np.sort(pred, axis=1)

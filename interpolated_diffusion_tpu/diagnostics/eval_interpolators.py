@@ -84,6 +84,9 @@ def main(argv=None):
 
         path = resolve_ckpt(args.ckpt)
         _, meta = read_meta(path)
+        if "in_channels" in meta and int(meta["in_channels"]) != args.latent_c:
+            print(f"latent_c {args.latent_c} -> {meta['in_channels']} (ckpt meta)")
+            args.latent_c = int(meta["in_channels"])
         if args.interpolator == "flow":
             from ..models.flow_interpolator import LatentFlowInterpolator
 

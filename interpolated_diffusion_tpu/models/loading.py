@@ -163,3 +163,29 @@ def load_segment_cost_model(path: str, bf16: bool = True):
     )["params"]
     _, payload = load_checkpoint(path, tmpl)
     return model, payload["params"], meta
+
+
+def make_dphi_seg_cost_fn(path: str, T: int, use_sdf: bool | None = None,
+                          bf16: bool = True):
+    """Load D_phi and return (seg_cost_fn, meta): seg_cost_fn(cond, idx) ->
+    [B, K-1] predicted costs of the consecutive segments of `idx` [B, K].
+
+    Jit-friendly (params close over as constants — D_phi is tiny); used for
+    the kp_feat cost channels (reference train_keypoints.py:515-526 /
+    sample_generate.py:510-547) with the same meta validation (T and use_sdf
+    must match the checkpoint)."""
+    from ..ops.selection import build_segment_features_from_idx
+
+    model, params, meta = load_segment_cost_model(path, bf16)
+    if meta.get("T") is not None and int(meta["T"]) != int(T):
+        raise ValueError(f"dphi_ckpt T mismatch: ckpt={meta['T']} args={T}")
+    if use_sdf is not None and meta.get("use_sdf") is not None \
+            and bool(meta["use_sdf"]) != bool(use_sdf):
+        raise ValueError("dphi_ckpt use_sdf mismatch")
+    seg_feat_dim = int(meta.get("seg_feat_dim", 3))
+
+    def seg_cost_fn(cond, idx):
+        seg_feat = build_segment_features_from_idx(idx, T, seg_feat_dim)
+        return model.apply({"params": params}, cond, seg_feat)
+
+    return seg_cost_fn, meta

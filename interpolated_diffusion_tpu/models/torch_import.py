@@ -256,7 +256,10 @@ def load_reference_denoiser(path: str, kind: str, bf16: bool = True,
         for ours, ref in [("d_model", "kp_d_model"), ("n_layers", "kp_n_layers"),
                           ("n_heads", "kp_n_heads"), ("d_ff", "kp_d_ff"),
                           ("d_cond", "kp_d_cond")]:
-            norm.setdefault(ours, meta.get(ref, None))
+            # only map when the reference key exists — planting explicit None
+            # would defeat downstream `.get(key, default)` fallbacks
+            if ours not in norm and meta.get(ref) is not None:
+                norm[ours] = meta[ref]
         norm.setdefault("maze_channels",
                         ",".join(str(c) for c in _ref_channels(meta, "kp_maze_channels")))
         norm.setdefault("use_kp_feat", int(meta.get("kp_feat_dim", 0)) > 0)

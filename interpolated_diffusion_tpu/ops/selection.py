@@ -222,3 +222,27 @@ def build_kp_feat_batch(idx: jnp.ndarray, T: int) -> jnp.ndarray:
 
 def build_kp_feat(idx: jnp.ndarray, T: int) -> jnp.ndarray:
     return build_kp_feat_batch(idx[None], T)[0]
+
+
+def build_kp_feat_full(
+    idx: jnp.ndarray, T: int, kp_feat_dim: int,
+    seg_cost: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Reference `_kp_feat_from_idx` parity (train_keypoints.py:183-204):
+    channels [left_gap, right_gap, t_norm, left_cost, right_cost][:kp_feat_dim],
+    zero-padded above. The cost channels are the D_phi segment cost of each
+    keypoint's left/right consecutive segment (`seg_cost` [B, K-1]); they are
+    filled only when kp_feat_dim >= 5 and seg_cost is given — otherwise they
+    stay zero, exactly like the reference with dphi_model=None."""
+    feat = build_kp_feat_batch(idx, T)
+    if kp_feat_dim >= 5 and seg_cost is not None:
+        B = idx.shape[0]
+        zero = jnp.zeros((B, 1), dtype=seg_cost.dtype)
+        left = jnp.concatenate([zero, seg_cost], axis=1)    # 0 at first kp
+        right = jnp.concatenate([seg_cost, zero], axis=1)   # 0 at last kp
+        feat = jnp.concatenate(
+            [feat, left[..., None].astype(feat.dtype),
+             right[..., None].astype(feat.dtype)], axis=-1)
+    if kp_feat_dim > feat.shape[-1]:
+        feat = jnp.pad(feat, ((0, 0), (0, 0), (0, kp_feat_dim - feat.shape[-1])))
+    return feat[:, :, :kp_feat_dim]

@@ -88,6 +88,12 @@ class PipelineConfig:
         recompute_vel: bool = False,
         stage2_mask_policy: str = "base",  # base | selector
         collect_steps: bool = False,       # also return per-step states
+        kp_feat_dim: int = 0,              # >0: rebuild kp_feat for the
+                                           # Stage-1 model (meta use_kp_feat;
+                                           # zeros otherwise would be
+                                           # off-distribution); cost channels
+                                           # (>=5) need make_pipeline's
+                                           # dphi_fn
     ):
         self.__dict__.update(locals())
         del self.__dict__["self"]
@@ -106,6 +112,7 @@ def _soft_clamp_lambda(s: int, levels: int, schedule: str, max_val: float) -> fl
 
 def make_pipeline(
     kp_model, interp_model, kp_schedule, cfg: PipelineConfig, data_dim: int,
+    dphi_fn=None,
 ):
     """Returns pipeline(kp_params, interp_params, key, idx, cond) ->
     (x_interp, x_refined, z_pred). Fully jittable; one XLA program."""
@@ -122,6 +129,13 @@ def make_pipeline(
 
     def stage1(kp_params, key, idx, cond):
         B = idx.shape[0]
+        if cfg.kp_feat_dim > 0:
+            from ..ops.selection import build_kp_feat_full
+
+            seg_cost = dphi_fn(cond, idx) if dphi_fn is not None else None
+            cond = dict(cond)
+            cond["kp_feat"] = build_kp_feat_full(
+                idx, T, cfg.kp_feat_dim, seg_cost)
         known_mask, known_values = build_known_mask_values(
             idx, cond, data_dim, T, cfg.clamp_endpoints
         )
@@ -339,6 +353,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["random", "uniform", "uniform_jitter", "selector"])
     p.add_argument("--kp_jitter", type=float, default=0.0)
     p.add_argument("--selector_ckpt", type=str, default=None)
+    p.add_argument("--dphi_ckpt", type=str, default=None,
+                   help="segment-cost ckpt for the kp_feat cost channels; "
+                        "required when the Stage-1 meta says kp_feat_dphi")
     p.add_argument("--selector_stochastic", type=int, default=0)
     p.add_argument("--selector_tau", type=float, default=1.0)
     p.add_argument("--stage2_mask_policy", type=str, default="base",
@@ -402,6 +419,8 @@ def main(argv=None):
         recompute_vel=bool(il_meta.get("recompute_vel", 0)) and int(kp_meta["data_dim"]) == 4,
         stage2_mask_policy=args.stage2_mask_policy,
         collect_steps=bool(args.save_steps),
+        kp_feat_dim=(int(kp_meta.get("kp_feat_dim", 0))
+                     if kp_meta.get("use_kp_feat") else 0),
     )
     selector = None
     if args.kp_index_mode == "selector" or args.stage2_mask_policy == "selector":
@@ -411,9 +430,21 @@ def main(argv=None):
             args.selector_ckpt, bool(args.bf16)
         )
         selector = jax.jit(lambda cond: sel_model.apply({"params": sel_params}, cond))
+    dphi_fn = None
+    if args.dphi_ckpt:
+        from ..models.loading import make_dphi_seg_cost_fn
+
+        dphi_fn, _ = make_dphi_seg_cost_fn(
+            args.dphi_ckpt, T, kp_meta.get("use_sdf"), bool(args.bf16))
+    elif kp_meta.get("kp_feat_dphi"):
+        raise ValueError(
+            "Stage-1 ckpt was trained with D_phi kp_feat cost channels "
+            "(meta kp_feat_dphi=1) — pass --dphi_ckpt or sampling runs "
+            "off-distribution (channels 3/4 zero)")
     kp_schedule = make_schedule(kp_meta["schedule"], int(kp_meta["N_train"]))
     data_dim = int(kp_meta["data_dim"])
-    pipeline = jax.jit(make_pipeline(kp_model, interp_model, kp_schedule, cfg, data_dim))
+    pipeline = jax.jit(make_pipeline(
+        kp_model, interp_model, kp_schedule, cfg, data_dim, dphi_fn))
 
     args.T = T  # for make_dataset
     ds, _ = make_dataset(args)

@@ -42,6 +42,7 @@ def make_causal_pipeline(
     data_dim: int, logit_space: bool, logit_eps: float,
     clamp_endpoints: bool, clamp_policy: str, clamp_dims: str,
     recompute_vel: bool, mask_channels: int = 1, collect_chunks: bool = False,
+    kp_feat_dim: int = 0, dphi_fn=None,
 ):
     """Returns pipeline(kp_params, interp_params, key, cond) -> x_gen [B,T,D]
     (plus the per-chunk prefix states [n_chunks,B,T,D] with collect_chunks —
@@ -50,6 +51,17 @@ def make_causal_pipeline(
 
     def stage1_chunk(kp_params, key, idx, known_mask, known_values, cond, local_T):
         B, K = idx.shape
+        if kp_feat_dim > 0:
+            from ..ops.selection import build_kp_feat_batch, build_kp_feat_full
+
+            # geometry channels normalize by the chunk's local_T; D_phi cost
+            # features normalize by the FULL T (the reference gathers chunk-
+            # local segment ids from a full-T precompute,
+            # sample_generate_causal.py:533-545) — dphi_fn closes over full T
+            seg_cost = dphi_fn(cond, idx) if dphi_fn is not None else None
+            feat = build_kp_feat_full(idx, local_T, kp_feat_dim, seg_cost)
+            cond = dict(cond)
+            cond["kp_feat"] = feat
         z = jax.random.normal(key, (B, K, data_dim))
         z = jnp.where(known_mask, known_values, z)
         t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
@@ -213,6 +225,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--use_ema", type=int, default=1)
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--K_min", type=int, default=4)
+    p.add_argument("--dphi_ckpt", type=str, default=None,
+                   help="segment-cost ckpt for the kp_feat cost channels")
     p.add_argument("--ddim_steps", type=int, default=10)
     p.add_argument("--num_batches", type=int, default=2)
     p.add_argument("--batch", type=int, default=32)
@@ -237,6 +251,16 @@ def main(argv=None):
         print("warning: interp checkpoint is not causal; results follow the bidirectional model")
     T = int(kp_meta["T"])
     data_dim = int(kp_meta["data_dim"])
+    dphi_fn = None
+    if args.dphi_ckpt:
+        from ..models.loading import make_dphi_seg_cost_fn
+
+        dphi_fn, _ = make_dphi_seg_cost_fn(
+            args.dphi_ckpt, T, kp_meta.get("use_sdf"), bool(args.bf16))
+    elif kp_meta.get("kp_feat_dphi"):
+        raise ValueError(
+            "Stage-1 ckpt was trained with D_phi kp_feat cost channels — "
+            "pass --dphi_ckpt (channels 3/4 would be off-distribution zeros)")
     pipeline = jax.jit(make_causal_pipeline(
         kp_model, interp_model, make_schedule(kp_meta["schedule"], int(kp_meta["N_train"])),
         T=T, K_min=args.K_min, levels=int(il_meta["levels"]), chunk=args.chunk,
@@ -248,6 +272,9 @@ def main(argv=None):
         recompute_vel=bool(il_meta.get("recompute_vel", 0)) and data_dim == 4,
         mask_channels=int(il_meta.get("mask_channels", 1)),
         collect_chunks=bool(args.save_chunks),
+        kp_feat_dim=(int(kp_meta.get("kp_feat_dim", 0))
+                     if kp_meta.get("use_kp_feat") else 0),
+        dphi_fn=dphi_fn,
     ))
 
     args.T = T

@@ -37,6 +37,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--kp_index_mode", type=str, default="uniform",
                    choices=["random", "uniform"])
     p.add_argument("--pos_clip", type=int, default=1)
+    p.add_argument("--dphi_ckpt", type=str, default=None,
+                   help="segment-cost ckpt for the kp_feat cost channels")
     p.add_argument("--sample_seed", type=int, default=1234)
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--plots", type=int, default=1)
@@ -56,9 +58,27 @@ def main(argv=None):
                                        args.time_spacing))
     logit_space = bool(meta.get("logit_space", 0))
 
+    kp_feat_dim = int(meta.get("kp_feat_dim", 0)) if meta.get("use_kp_feat") else 0
+    dphi_fn = None
+    if args.dphi_ckpt:
+        from ..models.loading import make_dphi_seg_cost_fn
+
+        dphi_fn, _ = make_dphi_seg_cost_fn(
+            args.dphi_ckpt, T, meta.get("use_sdf"), bool(args.bf16))
+    elif meta.get("kp_feat_dphi"):
+        raise ValueError(
+            "Stage-1 ckpt was trained with D_phi kp_feat cost channels — "
+            "pass --dphi_ckpt (channels 3/4 would be off-distribution zeros)")
+
     @jax.jit
     def sample(key, idx, cond):
         B = idx.shape[0]
+        if kp_feat_dim > 0:
+            from ..ops.selection import build_kp_feat_full
+
+            seg_cost = dphi_fn(cond, idx) if dphi_fn is not None else None
+            cond = dict(cond)
+            cond["kp_feat"] = build_kp_feat_full(idx, T, kp_feat_dim, seg_cost)
         known_mask, known_values = build_known_mask_values(
             idx, cond, D, T, bool(meta["clamp_endpoints"]))
         if logit_space:

@@ -54,14 +54,21 @@ def precompute_teacher_shards(
     by the source sharding and kept only for signature compatibility."""
     import os
 
-    from ..data.wan_synth import iter_tar_samples, list_shards, write_tar_shard
+    from ..data.wan_synth import (
+        _maybe_transpose_latents,
+        iter_tar_samples,
+        list_shards,
+        write_tar_shard,
+    )
 
     teacher = teacher or LerpTeacher()
     n = 0
     for sh in list_shards(data_root):
         out = []
         for sample in iter_tar_samples(sh):
-            lat = np.asarray(sample["latents"])
+            # raw shards may be [C,T,H,W]; normalize to time-first like the
+            # trainer-side loader does before interpolating over frames
+            lat = _maybe_transpose_latents(np.asarray(sample["latents"]), T)
             mids = np.stack([
                 teacher.interpolate(lat[t], lat[min(t + 2, lat.shape[0] - 1)])
                 for t in range(0, lat.shape[0] - 1, 2)

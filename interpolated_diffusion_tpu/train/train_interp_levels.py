@@ -99,6 +99,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pos_clip_max", type=float, default=1.0)
     # Stage-1 bootstrap scheduled sampling
     p.add_argument("--bootstrap_ckpt", type=str, default=None)
+    p.add_argument("--dphi_ckpt", type=str, default=None,
+                   help="segment-cost ckpt for the bootstrap sampler's "
+                        "kp_feat cost channels (when the Stage-1 ckpt was "
+                        "trained with kp_feat_dphi)")
     p.add_argument("--bootstrap_replace_prob", type=float, default=0.5)
     p.add_argument("--bootstrap_warmup_steps", type=int, default=2000)
     p.add_argument("--bootstrap_ddim_steps", type=int, default=5)
@@ -258,8 +262,30 @@ def make_bootstrap_sampler(args, data_dim: int):
         make_timesteps(int(meta["N_train"]), args.bootstrap_ddim_steps, "quadratic")
     )
 
+    kp_feat_dim = int(meta.get("kp_feat_dim", 0)) if meta.get("use_kp_feat") else 0
+    dphi_fn = None
+    if getattr(args, "dphi_ckpt", None):
+        from ..models.loading import make_dphi_seg_cost_fn
+
+        dphi_fn, _ = make_dphi_seg_cost_fn(
+            args.dphi_ckpt, T, meta.get("use_sdf"), bool(args.bf16))
+    elif meta.get("kp_feat_dphi"):
+        raise ValueError(
+            "bootstrap Stage-1 ckpt was trained with D_phi kp_feat cost "
+            "channels — pass --dphi_ckpt (channels 3/4 would be "
+            "off-distribution zeros)")
+
     def sample(key: jax.Array, idx: jnp.ndarray, cond: Dict) -> jnp.ndarray:
         B, K_ = idx.shape
+        if kp_feat_dim > 0:
+            # the Stage-1 model was trained WITH idx features; zeros here
+            # would be off-distribution and the DDIM loop amplifies the
+            # resulting eps error into divergent anchors
+            from ..ops.selection import build_kp_feat_full
+
+            seg_cost = dphi_fn(cond, idx) if dphi_fn is not None else None
+            cond = dict(cond)
+            cond["kp_feat"] = build_kp_feat_full(idx, T, kp_feat_dim, seg_cost)
         known_mask, known_values = build_known_mask_values(
             idx, cond, data_dim, T, bool(meta["clamp_endpoints"])
         )

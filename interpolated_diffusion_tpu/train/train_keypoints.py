@@ -25,7 +25,7 @@ import numpy as np
 from ..models.denoisers import KeypointDenoiser
 from ..ops.ddpm import q_sample
 from ..ops.schedules import make_schedule
-from ..ops.selection import build_kp_feat_batch
+from ..ops.selection import build_kp_feat_full
 from ..parallel.mesh import (
     make_mesh_for_batch,
     replicate,
@@ -59,6 +59,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--maze_channels", type=str, default="32,64,128,128")
     p.add_argument("--kp_feat_dim", type=int, default=0)
     p.add_argument("--use_kp_feat", type=int, default=0)
+    p.add_argument("--dphi_ckpt", type=str, default=None,
+                   help="segment-cost ckpt: fills kp_feat channels 3/4 with "
+                        "the D_phi cost of each keypoint's left/right segment "
+                        "(requires use_kp_feat=1, kp_feat_dim>=5; reference "
+                        "train_keypoints.py:515-526)")
     p.add_argument("--logit_space", type=int, default=0)
     p.add_argument("--logit_eps", type=float, default=1e-5)
     p.add_argument("--clamp_endpoints", type=int, default=1)
@@ -89,6 +94,9 @@ def make_meta(args, data_dim: int) -> Dict:
         "maze_channels": args.maze_channels,
         "kp_feat_dim": args.kp_feat_dim,
         "use_kp_feat": args.use_kp_feat,
+        # samplers must rebuild the cost channels with a D_phi ckpt or the
+        # model runs off-distribution (channels 3/4 zero)
+        "kp_feat_dphi": int(bool(args.dphi_ckpt)),
         "logit_space": args.logit_space,
         "logit_eps": args.logit_eps,
         "clamp_endpoints": args.clamp_endpoints,
@@ -117,12 +125,14 @@ def build_model(args, data_dim: int) -> KeypointDenoiser:
     )
 
 
-def make_loss_fn(model: KeypointDenoiser, args, schedule, device_policy=None):
+def make_loss_fn(model: KeypointDenoiser, args, schedule, device_policy=None,
+                 dphi_fn=None):
     """loss_fn(params, batch, rng): batch has x, occ, start_goal[, idx].
 
     device_policy ("random"/"uniform") samples anchor indices inside the
     jitted step — avoids a host round trip per step when the policy mix has
-    no dp/selector entries (the common case).
+    no dp/selector entries (the common case). dphi_fn(cond, idx) -> [B, K-1]
+    fills the kp_feat cost channels (frozen D_phi, closed over as constants).
     """
     T = args.T
     use_kp_feat = bool(args.use_kp_feat)
@@ -159,10 +169,10 @@ def make_loss_fn(model: KeypointDenoiser, args, schedule, device_policy=None):
             z0 = logit_pos(z0, eps=args.logit_eps)
             known_values = logit_pos(known_values, eps=args.logit_eps)
         if use_kp_feat:
-            feat = build_kp_feat_batch(idx, T)
-            if kp_feat_dim > 3:
-                feat = jnp.pad(feat, ((0, 0), (0, 0), (0, kp_feat_dim - 3)))
-            cond["kp_feat"] = feat[:, :, :kp_feat_dim]
+            # frozen D_phi features (reference wraps this in torch.no_grad)
+            seg_cost = (jax.lax.stop_gradient(dphi_fn(cond, idx))
+                        if dphi_fn is not None else None)
+            cond["kp_feat"] = build_kp_feat_full(idx, T, kp_feat_dim, seg_cost)
 
         k_t, k_eps = jax.random.split(rng)
         t = jax.random.randint(k_t, (B,), 0, args.N_train)
@@ -240,7 +250,16 @@ def main(argv=None):
     elif mix_names == {"uniform"}:
         device_policy = "uniform"
 
-    loss_fn = make_loss_fn(model, args, schedule, device_policy)
+    dphi_fn = None
+    if args.dphi_ckpt:
+        if not args.use_kp_feat or args.kp_feat_dim < 5:
+            raise ValueError("dphi_ckpt requires use_kp_feat=1 and kp_feat_dim>=5")
+        from ..models.loading import make_dphi_seg_cost_fn
+
+        dphi_fn, _ = make_dphi_seg_cost_fn(
+            args.dphi_ckpt, args.T, bool(args.use_sdf), bool(args.bf16))
+
+    loss_fn = make_loss_fn(model, args, schedule, device_policy, dphi_fn)
     spc = max(1, args.steps_per_call)
     train_step = make_train_multi_step(
         loss_fn, tx, args.ema_decay, args.grad_accum, spc

@@ -77,6 +77,13 @@ def make_wansynth_loader(args, seed: int):
         ds = WanSynthTarDataset(args.data_root, T=args.T, seed=seed,
                                 anchors_root=args.anchors_root)
         return ds.batches(args.batch)
+    if getattr(args, "anchors_root", None):
+        raise ValueError(
+            "--anchors_root joins are defined over tar shards; with synthetic "
+            "data, materialize it first (python -m interpolated_diffusion_tpu"
+            ".data.make_synth_tars) and pass --data tar --data_root <dir> — "
+            "otherwise anchors would be silently ignored"
+        )
     ds = SyntheticWanDataset(
         n_samples=args.num_samples, T=args.T, C=args.latent_c,
         H=args.latent_h, W=args.latent_w, text_len=args.text_len,

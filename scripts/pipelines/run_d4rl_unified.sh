@@ -96,12 +96,14 @@ $RUNNER interpolated_diffusion_tpu.train.train_keypoint_selector \
   --steps "$SEL_STEPS" --batch 128 --out_dir "$OUT/selector"
 
 # 7) Stage-1 keypoints: selector/uniform/random idx mix + kp features
+# (kp_feat_dim=5 = geometry + D_phi cost channels, the reference's winning
+# config: run_d4rl_unified_dp_train_sample.sh KP_FEAT_DIM=5 + --dphi_ckpt)
 $RUNNER interpolated_diffusion_tpu.train.train_keypoints \
   $COMMON --prepared_path "$OUT/prep/train_dp.npz" \
   --schedule cosine --N_train 1000 \
   --K "$K" --idx_policy "${IDX_POLICY:-selector:0.7,uniform:0.2,random:0.1}" \
   --selector_ckpt "$OUT/selector" \
-  --use_kp_feat 1 --kp_feat_dim 3 \
+  --use_kp_feat 1 --kp_feat_dim "${KP_FEAT_DIM:-5}" --dphi_ckpt "$OUT/dphi" \
   --steps "$STEPS" --batch "$BATCH" --out_dir "$OUT/kp"
 
 # 8) Stage-2: the reference's winning small dist-noise recipe (uniform base
@@ -114,7 +116,7 @@ $RUNNER interpolated_diffusion_tpu.train.train_interp_levels \
   --corrupt_mode dist --corrupt_sigma_max "${SIGMA_MAX:-0.02}" \
   --corrupt_sigma_min "${SIGMA_MIN:-0.003}" --corrupt_sigma_pow 0.75 \
   --corrupt_anchor_frac 0.25 --pos_clip 1 \
-  --bootstrap_ckpt "$OUT/kp" --bootstrap_ddim_steps 20 \
+  --bootstrap_ckpt "$OUT/kp" --dphi_ckpt "$OUT/dphi" --bootstrap_ddim_steps 20 \
   --bootstrap_warmup_steps $(( S2_STEPS / 4 )) \
   --steps "$S2_STEPS" --batch "$BATCH" --out_dir "$OUT/il"
 
@@ -122,7 +124,8 @@ $RUNNER interpolated_diffusion_tpu.train.train_interp_levels \
 $RUNNER interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt "$OUT/kp" --interp_ckpt "$OUT/il" \
   --dataset prepared --prepared_path "$OUT/prep/eval_dp.npz" \
-  --kp_index_mode "${KP_INDEX_MODE:-uniform}" --selector_ckpt "$OUT/selector" \
+  --kp_index_mode "${KP_INDEX_MODE:-selector}" --selector_ckpt "$OUT/selector" \
+  --dphi_ckpt "$OUT/dphi" \
   --s2_noise_mode level --s2_noise_sigma "${SIGMA_MIN:-0.003}" \
   --pos_clip 1 --compare_oracle 1 \
   --num_batches "$SAMPLE_BATCHES" --batch 64 \

@@ -2,9 +2,9 @@
 # Phase-1 input-mode comparison (parity with the reference's
 # scripts/run_phase1_cmp_tmux.sh): launch one training run per
 # phase1_input_mode in a tmux session (one window each) so their telemetry
-# can be compared live; or run sequentially with TMUX=0 (single-chip TPU —
-# two Wan trainings cannot share one chip's HBM anyway, so TMUX=1 is only
-# for CPU smoke or multi-host setups).
+# can be compared live; or run sequentially with TMUX_MODE=0, the default
+# (single-chip TPU — two Wan trainings cannot share one chip's HBM anyway,
+# so TMUX_MODE=1 is only for CPU smoke or multi-host setups).
 set -euo pipefail
 cd "$(dirname "$0")/../.."
 RUNNER=${RUNNER:-python -m}
@@ -23,6 +23,7 @@ CMD_COMMON="$RUNNER interpolated_diffusion_tpu.train.train_keypoints_wansynth \
   --use_remat 1 --layer_mode scan --frame_cond 1 \
   --batch $BATCH --grad_accum $GRAD_ACCUM --steps $STEPS"
 
+mkdir -p "$OUT"
 if [ "$USE_TMUX" = 1 ]; then
   tmux new-session -d -s "$SESSION" || true
   for MODE in $MODES; do
@@ -32,24 +33,22 @@ if [ "$USE_TMUX" = 1 ]; then
   done
   echo "launched in tmux session $SESSION (attach: tmux attach -t $SESSION)"
 else
-  mkdir -p "$OUT"
   for MODE in $MODES; do
     echo "=== phase1_input_mode=$MODE"
     $CMD_COMMON --phase1_input_mode "$MODE" --out_dir "$OUT/$MODE" 2>&1 \
       | tee "$OUT/$MODE.log"
   done
-  # compare final losses across modes from the metrics files
+  # compare final losses across modes from the tee'd trainer logs
+  # ("step N loss X | ..." lines)
   python - "$OUT" <<'EOF'
-import csv, pathlib, sys
+import pathlib, re, sys
 out = pathlib.Path(sys.argv[1])
-for d in sorted(out.iterdir()):
-    f = d / "metrics.csv"
-    if not f.is_file():
-        continue
-    rows = list(csv.DictReader(f.open()))
-    if rows:
-        tail = rows[-min(10, len(rows)):]
-        loss = sum(float(r["loss"]) for r in tail) / len(tail)
-        print(f"{d.name:20s} final-10 loss {loss:.5f}")
+for f in sorted(out.glob("*.log")):
+    losses = [float(m.group(1))
+              for m in re.finditer(r"step \d+ loss ([0-9.eE+-]+)", f.read_text())]
+    if losses:
+        tail = losses[-min(10, len(losses)):]
+        print(f"{f.stem:20s} final-{len(tail)} loss "
+              f"{sum(tail) / len(tail):.5f}")
 EOF
 fi

@@ -33,7 +33,7 @@ for MIX in "${MIX_ARR[@]}"; do
     $COMMON --prepared_path "$TRAIN_DATA" \
     --schedule cosine --N_train 1000 --K "$K" \
     --idx_policy "$MIX" $SEL_ARGS \
-    --use_kp_feat 1 --kp_feat_dim 3 \
+    --use_kp_feat 1 --kp_feat_dim "${KP_FEAT_DIM:-5}" --dphi_ckpt "$BASE/dphi" \
     --steps "$STEPS" --batch "$BATCH" --out_dir "$OUT"
 
   # sample with matching inference-time index mode (selector when trained
@@ -44,6 +44,7 @@ for MIX in "${MIX_ARR[@]}"; do
     --kp_ckpt "$OUT" --interp_ckpt "$IL_CKPT" \
     --dataset prepared --prepared_path "$EVAL_DATA" \
     --kp_index_mode "${KP_INDEX_MODE:-$KP_MODE}" --selector_ckpt "$SELECTOR_CKPT" \
+    --dphi_ckpt "$BASE/dphi" \
     --s2_noise_mode level --s2_noise_sigma "${SIGMA_MIN:-0.003}" \
     --pos_clip 1 --compare_oracle 1 \
     --num_batches "${SAMPLE_BATCHES:-8}" --batch 64 \

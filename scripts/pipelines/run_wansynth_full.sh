@@ -19,9 +19,17 @@ ATTN=${ATTN:-sla}; TOPK=${TOPK:-0.1}; LORA_RANK=${LORA_RANK:-8}
 P1_MODE=${P1_MODE:-short_anchors}
 DATA=${DATA:-synthetic}; DATA_ROOT=${DATA_ROOT:-}
 NUM_SAMPLES=${NUM_SAMPLES:-1000}
-DATA_ARGS="--data $DATA --num_samples $NUM_SAMPLES"
-[ -n "$DATA_ROOT" ] && DATA_ARGS="$DATA_ARGS --data_root $DATA_ROOT"
-WAN_ARGS="--use_wan 1 --attn_mode $ATTN --sla_topk $TOPK --lora_rank $LORA_RANK \
+# Anchor/teacher key-joins are defined over tar shards, so synthetic data is
+# materialized into tars once and every stage runs in tar mode.
+if [ "$DATA" = synthetic ]; then
+  DATA_ROOT="$OUT/data"
+  if [ ! -d "$DATA_ROOT" ] || [ -z "$(ls -A "$DATA_ROOT" 2>/dev/null)" ]; then
+    $RUNNER interpolated_diffusion_tpu.data.make_synth_tars \
+      --out_root "$DATA_ROOT" --num_samples "$NUM_SAMPLES" --T "${T:-21}" ${EXTRA_DATA_ARGS:-}
+  fi
+fi
+DATA_ARGS="--data tar --data_root $DATA_ROOT --num_samples $NUM_SAMPLES ${EXTRA_DATA_ARGS:-}"
+WAN_ARGS="--use_wan 1 --attn_mode $ATTN --sla_topk $TOPK --lora_rank $LORA_RANK ${EXTRA_WAN_ARGS:-} \
   --use_remat 1 --layer_mode scan --bf16 1"
 [ -n "${WAN_PRETRAINED:-}" ] && WAN_ARGS="$WAN_ARGS --wan_pretrained $WAN_PRETRAINED"
 
@@ -35,7 +43,7 @@ $RUNNER interpolated_diffusion_tpu.train.train_keypoints_wansynth \
 # Anchor precompute: DDIM-sample Phase-1 anchors into shards keyed by sample
 $RUNNER interpolated_diffusion_tpu.data.precompute_phase1_anchors \
   --ckpt "$OUT/p1/ckpt_$STEPS" --out_root "$OUT/anchors" \
-  --num_samples "${ANCHOR_SAMPLES:-256}" --batch "$BATCH" \
+  --data tar --data_root "$DATA_ROOT" --batch "$BATCH" \
   --ddim_steps "${ANCHOR_DDIM:-4}"
 
 # Phase 2: token interp-level fine-tune joined with the Phase-1 anchors
@@ -51,6 +59,7 @@ $RUNNER interpolated_diffusion_tpu.train.train_flow_interpolator_wansynth \
   --out_dir "$OUT/flow"
 $RUNNER interpolated_diffusion_tpu.diagnostics.eval_interpolators \
   --interpolator flow --ckpt "$OUT/flow/ckpt_${FLOW_STEPS:-$STEPS}" \
+  --data tar --data_root "$DATA_ROOT" \
   --T "$T" --K "$K" --batch 4 --num_batches "${EVAL_BATCHES:-8}"
 
 echo "wansynth full pipeline complete under $OUT"

@@ -65,3 +65,44 @@ def test_teacher_precompute_cli_roundtrip(tmp_path):
         np.testing.assert_allclose(tl[0], want, atol=1e-6)
         n += 1
     assert n == 4
+
+
+def test_teacher_precompute_channel_first_shards(tmp_path):
+    """Raw [C,T,H,W] shards must be time-normalized before interpolating —
+    the teacher must produce ceil((T-1)/2) frame mids, not channel mids."""
+    T, C, H, W = 9, 2, 4, 4
+    data_root = tmp_path / "data"
+    rng = np.random.RandomState(1)
+    lat_ctHW = rng.randn(C, T, H, W).astype(np.float32)   # channel-first!
+    write_tar_shard(str(data_root / "shard_00000.tar"),
+                    [{"__key__": "c0", "latents": lat_ctHW,
+                      "text_embed": rng.randn(3, 8).astype(np.float32)}])
+    out_root = tmp_path / "teacher"
+    teacher_main(["--data_root", str(data_root), "--out_root", str(out_root),
+                  "--T", str(T), "--teacher", "lerp"])
+    from interpolated_diffusion_tpu.data.wan_synth import iter_tar_samples
+
+    (s,) = list(iter_tar_samples(str(out_root / "shard_00000.tar")))
+    tl = np.asarray(s["teacher_latents"])
+    assert tl.shape == (4, C, H, W)                       # (T-1)//2 frame mids
+    lat_tchw = lat_ctHW.transpose(1, 0, 2, 3)
+    np.testing.assert_allclose(tl[0], 0.5 * (lat_tchw[0] + lat_tchw[2]),
+                               atol=1e-6)
+
+
+def test_make_synth_tars_matches_dataset(tmp_path):
+    from interpolated_diffusion_tpu.data.make_synth_tars import main as mk_main
+    from interpolated_diffusion_tpu.data.wan_synth import SyntheticWanDataset
+
+    out = tmp_path / "tars"
+    mk_main(["--out_root", str(out), "--num_samples", "5", "--T", "5",
+             "--latent_c", "2", "--latent_h", "4", "--latent_w", "4",
+             "--text_len", "3", "--text_dim", "8", "--shard_size", "3"])
+    assert sorted(os.listdir(out)) == ["shard_00000.tar", "shard_00001.tar"]
+    ds = WanSynthTarDataset(str(out), T=5, shuffle_shards=False,
+                            shuffle_buffer=1, process_split=False)
+    ref = SyntheticWanDataset(n_samples=5, T=5, C=2, H=4, W=4, text_len=3,
+                              text_dim=8, seed=0)
+    for i, s in enumerate(ds):
+        np.testing.assert_allclose(s["latents"], ref.get(i)["latents"],
+                                   atol=1e-6)

@@ -86,3 +86,9 @@ def test_no_candidates_returns_none():
         (GEOM_BOX, (5, 5, 0.1), (0, 0, 0), IDENT, "floor"),
     ])
     assert walls_from_geom_arrays(t, s, p, q, names) is None
+
+
+def test_empty_geom_table_returns_none():
+    assert walls_from_geom_arrays(
+        np.zeros(0), np.zeros((0, 3)), np.zeros((0, 3)), np.zeros((0, 4)), []
+    ) is None
