@@ -94,10 +94,11 @@ def ring_self_attention(
         return (k_blk, v_blk, o, m, l), None
 
     # accumulators start replicated but become device-varying in the loop;
-    # pvary marks them so scan's carry typing agrees across iterations
-    o0 = jax.lax.pvary(jnp.zeros((B, H, Lq, Dh), jnp.float32), axis_name)
-    m0 = jax.lax.pvary(jnp.full((B, H, Lq), neg_inf, jnp.float32), axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((B, H, Lq), jnp.float32), axis_name)
+    # pcast(to='varying') marks them so scan's carry typing agrees across
+    # iterations
+    o0 = jax.lax.pcast(jnp.zeros((B, H, Lq, Dh), jnp.float32), axis_name, to='varying')
+    m0 = jax.lax.pcast(jnp.full((B, H, Lq), neg_inf, jnp.float32), axis_name, to='varying')
+    l0 = jax.lax.pcast(jnp.zeros((B, H, Lq), jnp.float32), axis_name, to='varying')
     o0, m0, l0 = accumulate((o0, m0, l0), k, v, 0)   # local shard, no comm
     (_, _, o, m, l), _ = jax.lax.scan(
         step, (k, v, o0, m0, l0), jnp.arange(1, n_dev)
