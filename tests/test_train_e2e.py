@@ -98,3 +98,33 @@ def test_generate_pipeline_and_metrics(tmp_run):
     with np.load(os.path.join(out, "samples.npz")) as f:
         assert f["refined"].shape == (16, 32, 2)
         assert f["idx"].shape == (16, 4)
+
+
+def test_train_keypoints_dphi_feat_and_sampler_gate(tmp_run):
+    """kp_feat_dim=5 with D_phi cost channels: D_phi -> Stage-1 --dphi_ckpt ->
+    generate refuses without --dphi_ckpt (meta kp_feat_dphi) and runs with it."""
+    from interpolated_diffusion_tpu.sample.generate import main as gen_main
+    from interpolated_diffusion_tpu.train.train_keypoints import main as kp_main
+    from interpolated_diffusion_tpu.train.train_segment_cost import main as sc_main
+
+    sc_out = str(tmp_run / "dphi")
+    sc_main(["--T", "32", "--batch", "8", "--num_samples", "64",
+             "--maze_channels", "8,8", "--maze_h", "9", "--maze_w", "9",
+             "--hidden_dim", "32", "--n_layers_mlp", "2",
+             "--t_steps", "4", "--segment_cost_samples", "4",
+             "--bf16", "0", "--steps_per_call", "1", "--log_every", "2",
+             "--steps", "3", "--save_every", "3", "--out_dir", sc_out])
+    kp_out = str(tmp_run / "kp_dphi")
+    kp_main(TINY + ["--K", "4", "--use_kp_feat", "1", "--kp_feat_dim", "5",
+                    "--dphi_ckpt", sc_out,
+                    "--steps", "2", "--save_every", "2", "--out_dir", kp_out])
+    gen_args = [
+        "--kp_ckpt", kp_out, "--interp_ckpt", str(tmp_run / "il" / "ckpt_3"),
+        "--num_batches", "1", "--batch", "4", "--num_samples", "64",
+        "--maze_h", "9", "--maze_w", "9", "--bf16", "0",
+        "--out_dir", str(tmp_run / "gen_dphi"),
+    ]
+    with pytest.raises(ValueError, match="kp_feat_dphi"):
+        gen_main(gen_args)
+    summary = gen_main(gen_args + ["--dphi_ckpt", sc_out])
+    assert "refined_collision_rate" in summary
