@@ -62,6 +62,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mask_policy", type=str, default="random_nested",
                    choices=["random_nested", "uniform", "dp", "selector", "selector_level"])
     p.add_argument("--selector_ckpt", type=str, default=None)
+    p.add_argument("--mask_policy_mix", type=str, default="",
+                   help='weighted policy mix like "uniform:0.5,random:0.3,'
+                        'selector:0.2" (reference train_interp_levels.py:50,'
+                        ':890-892); overrides --mask_policy. Sampled '
+                        'per-SAMPLE here (the reference samples one policy '
+                        'per step — same marginal distribution)')
     p.add_argument("--level_sampling", type=str, default="high", choices=["uniform", "high"])
     p.add_argument("--level_high_prob", type=float, default=0.5)
     p.add_argument("--d_model", type=int, default=384)
@@ -144,6 +150,8 @@ def make_meta(args, data_dim: int) -> Dict:
         "maze_h": args.maze_h,
         "maze_w": args.maze_w,
         "corrupt_mode": args.corrupt_mode,
+        "mask_policy": args.mask_policy,
+        "mask_policy_mix": args.mask_policy_mix,
     }
 
 
@@ -338,6 +346,34 @@ def make_selector_logits_fn(args):
     return logits_fn
 
 
+def _mask_mix_entries(args):
+    """Parsed (policy, weight) list from --mask_policy_mix, or None."""
+    if not getattr(args, "mask_policy_mix", ""):
+        return None
+    from .batches import parse_policy_mix
+
+    entries = parse_policy_mix(args.mask_policy_mix)
+    allowed = {"random", "uniform", "dp", "selector"}
+    bad = [n for n, _ in entries if n not in allowed]
+    if bad:
+        raise ValueError(f"mask_policy_mix has unknown policies {bad}")
+    return entries
+
+
+def _mask_mix_buckets(args):
+    """Static bucket order for the in-jit mix select: dp/uniform share the
+    'base' bucket (both feed idx_base; the host picks which per sample)."""
+    entries = _mask_mix_entries(args)
+    if not entries:
+        return None
+    buckets = []
+    for name, _ in entries:
+        b = "base" if name in ("dp", "uniform") else name
+        if b not in buckets:
+            buckets.append(b)
+    return buckets
+
+
 def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None,
                  selector_logits_fn=None):
     """loss_fn(params, batch, rng); batch: x, occ, start_goal, [idx_base],
@@ -358,6 +394,19 @@ def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None,
         pos_clip_max=args.pos_clip_max,
     )
 
+    mix_buckets = _mask_mix_buckets(args)
+
+    def _selector_masks(cond):
+        from ..ops.keyframes import (
+            build_nested_masks_from_level_logits,
+            build_nested_masks_from_logits,
+        )
+
+        logits = jax.lax.stop_gradient(selector_logits_fn(cond))
+        build = (build_nested_masks_from_level_logits if logits.ndim == 3
+                 else build_nested_masks_from_logits)
+        return build(logits, args.K_min, levels, k_schedule=args.k_schedule)
+
     def loss_fn(params, batch, rng):
         x0 = batch["x"]
         cond = {"occ": batch["occ"], "start_goal": batch["start_goal"]}
@@ -366,21 +415,33 @@ def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None,
         B, T, D = x0.shape
         k_mask, k_s, k_batch, k_boot, k_rep = jax.random.split(rng, 5)
 
-        if selector_logits_fn is not None:
-            from ..ops.keyframes import (
-                build_nested_masks_from_level_logits,
-                build_nested_masks_from_logits,
-            )
-
-            logits = jax.lax.stop_gradient(selector_logits_fn(cond))
-            if logits.ndim == 3:
-                masks_levels, idx_levels = build_nested_masks_from_level_logits(
-                    logits, args.K_min, levels, k_schedule=args.k_schedule
-                )
-            else:
-                masks_levels, idx_levels = build_nested_masks_from_logits(
-                    logits, args.K_min, levels, k_schedule=args.k_schedule
-                )
+        if mix_buckets:
+            # per-sample policy mix: build each bucket's masks and select by
+            # batch["mask_policy_code"] (host-assigned, same bucket order)
+            code = batch["mask_policy_code"]
+            k_m1, k_m2 = jax.random.split(k_mask)
+            built = []
+            for name in mix_buckets:
+                if name == "random":
+                    built.append(build_nested_masks_batch(
+                        k_m1, B, T, args.K_min, levels,
+                        k_schedule=args.k_schedule))
+                elif name == "base":
+                    built.append(build_nested_masks_from_base(
+                        k_m2, batch["idx_base"], T, levels,
+                        k_schedule=args.k_schedule))
+                else:  # selector
+                    built.append(_selector_masks(cond))
+            masks_levels, idx_levels = built[0]
+            idx_levels = list(idx_levels)
+            for j in range(1, len(built)):
+                sel = code == j
+                masks_levels = jnp.where(sel[:, None, None], built[j][0],
+                                         masks_levels)
+                idx_levels = [jnp.where(sel[:, None], bj, io)
+                              for io, bj in zip(idx_levels, built[j][1])]
+        elif selector_logits_fn is not None:
+            masks_levels, idx_levels = _selector_masks(cond)
         elif "idx_base" in batch:
             masks_levels, idx_levels = build_nested_masks_from_base(
                 k_mask, batch["idx_base"], T, levels, k_schedule=args.k_schedule
@@ -526,10 +587,15 @@ def main(argv=None):
             print(f"resumed from {path} @ step {start_step}")
     state = replicate(state, mesh)
 
+    mix_entries = _mask_mix_entries(args)
+    mix_buckets = _mask_mix_buckets(args)
     selector_logits_fn = None
-    if args.mask_policy in ("selector", "selector_level"):
+    needs_selector = (args.mask_policy in ("selector", "selector_level")
+                      and not mix_entries) or \
+        (mix_entries and any(n == "selector" for n, _ in mix_entries))
+    if needs_selector:
         if not args.selector_ckpt:
-            raise ValueError(f"mask_policy={args.mask_policy} needs --selector_ckpt")
+            raise ValueError("selector mask policy needs --selector_ckpt")
         selector_logits_fn = make_selector_logits_fn(args)
 
     loss_fn = make_loss_fn(model, args, bootstrap_sample, selector_logits_fn)
@@ -558,7 +624,29 @@ def main(argv=None):
                 }
                 if "sdf" in batch and args.use_sdf:
                     dev_batch["sdf"] = batch["sdf"]
-                if args.mask_policy == "dp" and "kp_idx" in batch:
+                if mix_entries:
+                    names = [n for n, _ in mix_entries]
+                    w = np.asarray([v for _, v in mix_entries], np.float64)
+                    picks = host_rng.choice(len(names), size=args.batch,
+                                            p=w / w.sum())
+                    code = np.zeros(args.batch, np.int32)
+                    idx_base = sample_idx_policy(
+                        host_rng, "uniform:1.0", args.batch, args.T, args.K_min
+                    ).astype(np.int32)
+                    for pi, name in enumerate(names):
+                        rows = picks == pi
+                        bucket = "base" if name in ("dp", "uniform") else name
+                        code[rows] = mix_buckets.index(bucket)
+                        if name == "dp":
+                            if "kp_idx" not in batch:
+                                raise ValueError(
+                                    "mask_policy_mix includes dp but the "
+                                    "dataset has no kp_idx")
+                            idx_base[rows] = np.asarray(
+                                batch["kp_idx"])[rows, : args.K_min].astype(np.int32)
+                    dev_batch["mask_policy_code"] = code
+                    dev_batch["idx_base"] = idx_base
+                elif args.mask_policy == "dp" and "kp_idx" in batch:
                     dev_batch["idx_base"] = batch["kp_idx"][:, : args.K_min].astype(np.int32)
                 elif args.mask_policy == "uniform":
                     dev_batch["idx_base"] = sample_idx_policy(

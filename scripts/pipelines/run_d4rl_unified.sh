@@ -124,7 +124,7 @@ $RUNNER interpolated_diffusion_tpu.train.train_interp_levels \
 $RUNNER interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt "$OUT/kp" --interp_ckpt "$OUT/il" \
   --dataset prepared --prepared_path "$OUT/prep/eval_dp.npz" \
-  --kp_index_mode "${KP_INDEX_MODE:-selector}" --selector_ckpt "$OUT/selector" \
+  --kp_index_mode "${KP_INDEX_MODE:-uniform}" --selector_ckpt "$OUT/selector" \
   --dphi_ckpt "$OUT/dphi" \
   --s2_noise_mode level --s2_noise_sigma "${SIGMA_MIN:-0.003}" \
   --pos_clip 1 --compare_oracle 1 \

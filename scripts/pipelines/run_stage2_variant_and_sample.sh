@@ -47,12 +47,19 @@ case "$VARIANT" in
   *) echo "unknown VARIANT=$VARIANT (smallnoise|nocorrupt|selector)"; exit 2 ;;
 esac
 
+# the Stage-1 ckpt may carry D_phi kp_feat cost channels (kp_feat_dphi);
+# thread the predictor into the bootstrap sampler and the e2e sampler.
+DPHI_ARGS=""
+[ -d "${DPHI_CKPT:-$BASE/dphi}" ] && DPHI_ARGS="--dphi_ckpt ${DPHI_CKPT:-$BASE/dphi}"
+MIX_ARGS=""
+[ -n "${MASK_POLICY_MIX:-}" ] && MIX_ARGS="--mask_policy_mix $MASK_POLICY_MIX"
+
 $RUNNER interpolated_diffusion_tpu.train.train_interp_levels \
   $COMMON --prepared_path "$TRAIN_DATA" \
   --K_min "$K" --levels "$LEVELS" --k_schedule "$K_SCHEDULE" --mode adj \
   --anchor_conf 1 --anchor_conf_anneal 1 --pos_clip 1 \
-  $RECIPE \
-  --bootstrap_ckpt "$KP_CKPT" --bootstrap_ddim_steps 20 \
+  $RECIPE $MIX_ARGS \
+  --bootstrap_ckpt "$KP_CKPT" $DPHI_ARGS --bootstrap_ddim_steps 20 \
   --bootstrap_warmup_steps $(( STEPS / 4 )) \
   --steps "$STEPS" --batch "$BATCH" --out_dir "$OUT"
 
@@ -60,7 +67,7 @@ $RUNNER interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt "$KP_CKPT" --interp_ckpt "$OUT" \
   --dataset prepared --prepared_path "$EVAL_DATA" \
   --kp_index_mode "${KP_INDEX_MODE:-uniform}" --selector_ckpt "$SELECTOR_CKPT" \
-  $SAMPLE_EXTRA --pos_clip 1 --compare_oracle 1 \
+  $SAMPLE_EXTRA $DPHI_ARGS --pos_clip 1 --compare_oracle 1 \
   --num_batches "${SAMPLE_BATCHES:-8}" --batch 64 \
   --out_dir "$OUT/samples"
 

@@ -128,3 +128,18 @@ def test_train_keypoints_dphi_feat_and_sampler_gate(tmp_run):
         gen_main(gen_args)
     summary = gen_main(gen_args + ["--dphi_ckpt", sc_out])
     assert "refined_collision_rate" in summary
+
+
+def test_train_interp_levels_mask_policy_mix(tmp_run):
+    """Per-sample weighted mask-policy mix (reference --mask_policy_mix)."""
+    from interpolated_diffusion_tpu.train.train_interp_levels import main
+
+    out = str(tmp_run / "il_mix")
+    main(TINY + ["--K_min", "4", "--levels", "2", "--mode", "adj",
+                 "--mask_policy_mix", "uniform:0.6,random:0.4",
+                 "--steps", "3", "--save_every", "3", "--out_dir", out])
+    assert os.path.exists(os.path.join(out, "ckpt_3", "meta.json"))
+    import json
+
+    meta = json.load(open(os.path.join(out, "ckpt_3", "meta.json")))
+    assert meta["meta"]["mask_policy_mix"] == "uniform:0.6,random:0.4"
