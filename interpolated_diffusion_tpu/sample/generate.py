@@ -348,7 +348,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_batches", type=int, default=4)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--ddim_steps", type=int, default=20)
-    p.add_argument("--time_spacing", type=str, default="linear")
+    p.add_argument("--time_spacing", type=str, default="quadratic",
+                   choices=["linear", "quadratic", "sqrt"],
+                   help="DDIM step spacing (reference sample_generate.py:52 "
+                        "defaults to quadratic)")
     p.add_argument("--kp_index_mode", type=str, default="uniform",
                    choices=["random", "uniform", "uniform_jitter", "selector"])
     p.add_argument("--kp_jitter", type=float, default=0.0)
