@@ -36,6 +36,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--shard_size", type=int, default=64)
     p.add_argument("--ddim_steps", type=int, default=4)
+    p.add_argument("--cache_interval", type=int, default=1,
+                   help="FORA-style block caching (arXiv 2407.01425): run the "
+                        "Wan block stack every Nth DDIM step and reuse its "
+                        "residual in between (embed/cond/head stay fresh). "
+                        "1 = exact; 2-3 trades small anchor error for ~N× "
+                        "fewer block-stack evaluations. use_wan only.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", type=int, default=1)
     return p
@@ -96,7 +102,8 @@ def main(argv=None):
         trainable = {k: v for k, v in payload["params"].items() if k != "wan_base"}
         base_params = payload["params"].get("wan_base", base_params)
 
-        def eps_fn(z_t_tokens, t, idx, text):
+        def eps_fn(z_t_tokens, t, idx, text, blocks_delta=None,
+                   return_delta=False):
             extra = None
             if meta["frame_cond"]:
                 B = z_t_tokens.shape[0]
@@ -108,9 +115,17 @@ def main(argv=None):
             wparams = merged_wan_params(trainable, base_params, a)
             lat_in = jnp.transpose(unpatchify_tokens(z_t_tokens, p_sz, spatial),
                                    (0, 2, 1, 3, 4))
-            pred = wan.apply({"params": wparams}, lat_in, t, text, idx, extra)
+            pred = wan.apply({"params": wparams}, lat_in, t, text, idx, extra,
+                             blocks_delta=blocks_delta,
+                             return_delta=return_delta)
+            if return_delta:
+                pred, delta = pred
             out, _ = patchify_latents(jnp.transpose(pred, (0, 2, 1, 3, 4)), p_sz)
-            return out
+            return (out, delta) if return_delta else out
+
+        # wan-internal token count/dim for the cached block residual
+        wpt, wph, wpw = 1, 2, 2
+        cache_shape = (L_in // wpt) * (H // wph) * (W // wpw), int(meta["wan_dim"])
     else:
         tok_model = VideoTokenKeypointDenoiser(
             d_model=meta["d_model"], n_layers=meta["n_layers"],
@@ -130,19 +145,52 @@ def main(argv=None):
             return tok_model.apply({"params": params}, z_t_tokens, t, idx,
                                    {"text_embed": text}, T, spatial)
 
+    interval = max(1, int(args.cache_interval))
+    if interval > 1 and not meta.get("use_wan"):
+        raise ValueError("--cache_interval > 1 needs a use_wan checkpoint "
+                         "(block caching lives in the WanDiT forward)")
+
     @jax.jit
     def sample_anchors(key, idx, text):
         B = idx.shape[0]
         z = jax.random.normal(key, (B, K, N, D_tok))
         t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
 
-        def body(z, pair):
-            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-            eps = eps_fn(z.astype(jnp.float32), t_b, idx, text)
-            z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), schedule)
-            return z, None
+        if interval == 1:
+            def body(z, pair):
+                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+                eps = eps_fn(z.astype(jnp.float32), t_b, idx, text)
+                z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), schedule)
+                return z, None
 
-        z, _ = jax.lax.scan(body, z, t_pairs)
+            z, _ = jax.lax.scan(body, z, t_pairs)
+            return unpatchify_tokens(z, p_sz, spatial)
+
+        # FORA-style: full block-stack evaluation every `interval` steps;
+        # in between, reuse the carried residual (embed/cond/head fresh)
+        dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
+        delta0 = jnp.zeros((B, *cache_shape), dt_)
+
+        def body(carry, inp):
+            z, delta = carry
+            pair, i = inp
+            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+
+            def full_step(z, _):
+                return eps_fn(z.astype(jnp.float32), t_b, idx, text,
+                              None, True)
+
+            def cached_step(z, delta):
+                return (eps_fn(z.astype(jnp.float32), t_b, idx, text,
+                               delta, False), delta)
+
+            eps, delta = jax.lax.cond(i % interval == 0, full_step,
+                                      cached_step, z, delta)
+            z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), schedule)
+            return (z, delta), None
+
+        steps = jnp.arange(t_pairs.shape[0])
+        (z, _), _ = jax.lax.scan(body, (z, delta0), (t_pairs, steps))
         return unpatchify_tokens(z, p_sz, spatial)   # [B,K,C,H,W]
 
     # Output shards MIRROR the source shard basenames: the trainer-side

@@ -444,7 +444,19 @@ class WanDiT(nn.Module):
         context: jnp.ndarray,            # [B, L_text, text_dim]
         frame_indices: Optional[jnp.ndarray] = None,  # [B, T] absolute-time RoPE
         extra_context: Optional[jnp.ndarray] = None,  # [B, L_extra, text_dim]
+        blocks_delta: Optional[jnp.ndarray] = None,   # [B, L_tok, dim] cached
+        return_delta: bool = False,
     ) -> jnp.ndarray:
+        """blocks_delta/return_delta implement FORA-style block caching for
+        sampling (FORA, arXiv 2407.01425): on a full step, return the block
+        stack's total residual (x_blocks_out − x_embed) alongside the output;
+        on a cached step, skip all n_layers blocks and reuse that residual —
+        the token embed, conditioning MLPs, and the time-modulated head still
+        run fresh, so the prediction keeps first-order dependence on the new
+        z_t and t. With every block cached, FORA's per-block reuse composes to
+        exactly this single [B, L, dim] tensor (the deltas no longer depend on
+        the in-flight stream), so one carried residual replaces n_layers
+        caches. Training never uses this path."""
         B, C, T, H, W = latents.shape
         pt, ph, pw = self.patch_size
         ppf, pph, ppw = T // pt, H // ph, W // pw
@@ -485,7 +497,10 @@ class WanDiT(nn.Module):
         tables, dims = wan_rope_tables(self.max_seq_len, head_dim)
         rope = build_rope_freqs(tables, dims, ppf, pph, ppw, frame_indices, B)
 
-        if self.layer_mode == "scan":
+        x_embed = x
+        if blocks_delta is not None:
+            x = x_embed + blocks_delta.astype(x.dtype)
+        elif self.layer_mode == "scan":
             body = _WanBlockScanBody
             if self.use_remat:
                 body = nn.remat(body, prevent_cse=False)
@@ -537,6 +552,7 @@ class WanDiT(nn.Module):
         table = self.param(
             "head_scale_shift", nn.initializers.normal(0.02), (1, 2, self.dim)
         )
+        delta = (x - x_embed) if return_delta else None
         mod = (table + t_emb[:, None].astype(jnp.float32))
         shift, scale = mod[:, 0][:, None].astype(self.dtype), mod[:, 1][:, None].astype(self.dtype)
         x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype,
@@ -548,4 +564,7 @@ class WanDiT(nn.Module):
         x = jnp.transpose(x, (0, 4, 1, 5, 2, 6, 3, 7)).reshape(
             B, self.out_channels, T, H, W
         )
-        return x.astype(jnp.float32)
+        out = x.astype(jnp.float32)
+        if return_delta:
+            return out, delta
+        return out

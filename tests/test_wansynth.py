@@ -207,3 +207,66 @@ def test_oracle_segment_cost_closed_form():
                          .mean(-1))
             np.testing.assert_allclose(cost[:, s], want, atol=1e-3)
             s += 1
+
+
+def test_wan_dit_blocks_delta_cache_identity():
+    """FORA-style cache plumbing: with blocks_delta taken from a full call at
+    the same (z, t), the cached forward reproduces the full forward exactly
+    (the cached path adds back exactly the residual the blocks produced)."""
+    from interpolated_diffusion_tpu.models.wan_dit import WanDiT
+
+    model = WanDiT(dim=32, n_layers=2, n_heads=2, ffn_dim=64, in_channels=4,
+                   out_channels=4, text_dim=16, max_seq_len=64)
+    lat = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 3, 8, 8))
+    t = jnp.array([5, 9], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 16))
+    params = model.init(jax.random.PRNGKey(2), lat, t, ctx)["params"]
+    out_full, delta = model.apply({"params": params}, lat, t, ctx,
+                                  return_delta=True)
+    assert delta.shape == (2, 3 * 4 * 4, 32)
+    out_cached = model.apply({"params": params}, lat, t, ctx,
+                             blocks_delta=delta)
+    np.testing.assert_allclose(np.asarray(out_cached), np.asarray(out_full),
+                               atol=1e-5)
+    # at a DIFFERENT t, the cached output differs from the full forward
+    t2 = jnp.array([1, 2], jnp.int32)
+    out_full2 = model.apply({"params": params}, lat, t2, ctx)
+    out_cached2 = model.apply({"params": params}, lat, t2, ctx,
+                              blocks_delta=delta)
+    assert not np.allclose(np.asarray(out_cached2), np.asarray(out_full2),
+                           atol=1e-5)
+
+
+def test_anchor_precompute_cache_interval(tmp_path):
+    """--cache_interval 2 runs the FORA-cached sampler end-to-end and writes
+    finite anchors of the same shape as the exact path."""
+    from interpolated_diffusion_tpu.data.precompute_phase1_anchors import main as pre_main
+    from interpolated_diffusion_tpu.data.wan_synth import (
+        SyntheticWanDataset, iter_tar_samples, write_tar_shard,
+    )
+    from interpolated_diffusion_tpu.train.train_keypoints_wansynth import main as p1_main
+
+    p1_dir = str(tmp_path / "p1w")
+    p1_main(TINY_WAN + ["--use_wan", "1", "--K", "3", "--N_train", "20",
+                        "--phase1_input_mode", "short_anchors",
+                        "--lora_rank", "2", "--out_dir", p1_dir])
+    ds = SyntheticWanDataset(n_samples=4, T=9, C=4, H=8, W=8, text_len=8,
+                             text_dim=64, seed=0)
+    data_root = str(tmp_path / "tars")
+    write_tar_shard(os.path.join(data_root, "shard_00000.tar"),
+                    [{"__key__": f"{i:08d}", **ds.get(i)} for i in range(4)])
+    outs = {}
+    for iv in (1, 2):
+        root = str(tmp_path / f"anchors_iv{iv}")
+        pre_main(["--ckpt", os.path.join(p1_dir, "ckpt_2"),
+                  "--out_root", root, "--data", "tar",
+                  "--data_root", data_root, "--batch", "2", "--ddim_steps", "4",
+                  "--cache_interval", str(iv),
+                  "--shard_size", "4", "--bf16", "0"])
+        (s,) = [x for x in iter_tar_samples(
+            os.path.join(root, "shard_00000.tar"))][:1]
+        outs[iv] = np.asarray(s["anchors"])
+    assert outs[1].shape == outs[2].shape
+    assert np.isfinite(outs[2]).all()
+    # caching changes the trajectory (it is an approximation, not a no-op)
+    assert not np.allclose(outs[1], outs[2], atol=1e-6)
