@@ -295,7 +295,18 @@ def main(argv=None):
         obs = f["observations"]
         terminals = f["terminals"]
         timeouts = f["timeouts"] if "timeouts" in f.files else None
-    occ = maze_map_to_occ(MAZE_SPECS[args.env_id])
+        # prefer the exporter's own maze layout (d4rl_live.py writes the live
+        # env's maze_map) — the inline MAZE_SPECS only cover the three
+        # standard envs
+        maze_map = f["maze_map"] if "maze_map" in f.files else None
+    if maze_map is None:
+        if args.env_id not in MAZE_SPECS:
+            raise ValueError(
+                f"episodes npz has no maze_map and {args.env_id!r} is not a "
+                f"known spec ({sorted(MAZE_SPECS)}); re-export with "
+                "data/d4rl_live.py, which records the live env's maze_map")
+        maze_map = MAZE_SPECS[args.env_id]
+    occ = maze_map_to_occ(maze_map)
     data = window_episodes(
         obs, terminals, occ, args.T, args.num_samples, timeouts,
         args.window_mode, bool(args.with_velocity), bool(args.flip_y),

@@ -123,8 +123,9 @@ def main(argv=None):
             out, _ = patchify_latents(jnp.transpose(pred, (0, 2, 1, 3, 4)), p_sz)
             return (out, delta) if return_delta else out
 
-        # wan-internal token count/dim for the cached block residual
-        wpt, wph, wpw = 1, 2, 2
+        # wan-internal token count/dim for the cached block residual (NOT the
+        # outer meta["patch_size"] token patching — this is WanDiT's own)
+        wpt, wph, wpw = wan.patch_size
         cache_shape = (L_in // wpt) * (H // wph) * (W // wpw), int(meta["wan_dim"])
     else:
         tok_model = VideoTokenKeypointDenoiser(

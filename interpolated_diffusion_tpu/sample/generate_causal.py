@@ -47,6 +47,9 @@ def make_causal_pipeline(
     """Returns pipeline(kp_params, interp_params, key, cond) -> x_gen [B,T,D]
     (plus the per-chunk prefix states [n_chunks,B,T,D] with collect_chunks —
     the reference's per-chunk frame export, sample_generate_causal.py:584)."""
+    # linear spacing IS the reference's causal sampler behavior (it calls
+    # ddpm._timesteps with the default schedule, sample_generate_causal.py:193)
+    # — unlike the e2e/keypoint samplers, which default to quadratic
     times = jnp.asarray(make_timesteps(kp_schedule.n_timesteps, ddim_steps, "linear"))
 
     def stage1_chunk(kp_params, key, idx, known_mask, known_values, cond, local_T):

@@ -33,7 +33,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_batches", type=int, default=2)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--ddim_steps", type=int, default=20)
-    p.add_argument("--time_spacing", type=str, default="linear")
+    p.add_argument("--time_spacing", type=str, default="quadratic",
+                   choices=["linear", "quadratic", "sqrt"],
+                   help="DDIM spacing (reference sample_keypoints.py:32 "
+                        "defaults to quadratic, like the e2e sampler)")
     p.add_argument("--kp_index_mode", type=str, default="uniform",
                    choices=["random", "uniform"])
     p.add_argument("--pos_clip", type=int, default=1)

@@ -97,3 +97,33 @@ def test_export_episodes_dones_fallback():
 
     out = export_episodes(Env())
     assert out["terminals"].sum() == 1 and "timeouts" not in out
+
+
+def test_prepare_prefers_exported_maze_map(tmp_path):
+    """prepare_d4rl must use the npz's maze_map (live-env layout) so custom
+    envs outside MAZE_SPECS work end-to-end."""
+    import numpy as np
+
+    from interpolated_diffusion_tpu.data.d4rl import main as prep_main
+
+    ep = tmp_path / "ep.npz"
+    n = 40
+    obs = np.cumsum(np.full((n, 2), 0.02, np.float32), axis=0)
+    np.savez(ep, observations=obs, terminals=np.zeros(n, bool),
+             maze_map=np.array([[10, 10, 10], [10, 11, 10], [10, 10, 10]]))
+    out = tmp_path / "prep.npz"
+    prep_main(["--episodes", str(ep), "--env_id", "maze2d-custom-v9",
+               "--out_path", str(out), "--T", "8", "--num_samples", "3",
+               "--window_mode", "random", "--max_collision_rate", "1.0"])
+    with np.load(out) as f:
+        assert f["occ"].shape[-2:] == (3, 3)
+
+    # without a maze_map, unknown env ids fail loudly
+    ep2 = tmp_path / "ep2.npz"
+    np.savez(ep2, observations=obs, terminals=np.zeros(n, bool))
+    import pytest
+
+    with pytest.raises(ValueError, match="maze_map"):
+        prep_main(["--episodes", str(ep2), "--env_id", "maze2d-custom-v9",
+                   "--out_path", str(tmp_path / "x.npz"), "--T", "8",
+                   "--num_samples", "2"])
