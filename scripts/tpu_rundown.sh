@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Round-2 TPU work queue: everything that was blocked while the chip claim
+# was wedged, in priority order. Each step logs under runs/tpu_rundown and
+# failures don't stop later steps. Safe to re-run; finished steps are
+# skipped via their marker files.
+set -u
+cd "$(dirname "$0")/.."
+LOG=runs/tpu_rundown
+mkdir -p "$LOG"
+
+run_step() {  # run_step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  if [ -f "$LOG/$name.done" ]; then echo "== $name: already done"; return 0; fi
+  echo "== $name: start $(date)"
+  if timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1; then
+    touch "$LOG/$name.done"; echo "== $name: OK"
+  else
+    echo "== $name: FAILED rc=$? (see $LOG/$name.log)"
+  fi
+}
+
+# 1) bench regression gate (the driver's metric)
+run_step bench 2400 python bench.py
+
+# 2) real-TPU kernel oracle pass
+run_step kernels 2400 python scripts/verify_kernel_tpu.py
+
+# 3) D4RL T=128 unified at the reference's winning recipe, on the fixed
+#    kp_feat path (VERDICT item 3). Fresh OUT; prep is copied from the
+#    already-built round-2 prep (CPU-heavy, unaffected by the bug).
+if [ ! -d runs/d4rl_r2/prep ]; then
+  mkdir -p runs/d4rl_r2 && cp -r runs/d4rl_unified/prep runs/d4rl_r2/prep
+fi
+run_step d4rl_unified 28800 env OUT=runs/d4rl_r2 S2_STEPS=10000 \
+  bash scripts/pipelines/run_d4rl_unified.sh
+
+# 3b) the same checkpoints sampled with selector-driven Stage-1 indices
+#     (the reference's unified-DP sampling mode) for the recipe comparison
+run_step d4rl_sample_selector 3600 python -m \
+  interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/d4rl_r2/kp --interp_ckpt runs/d4rl_r2/il \
+  --dataset prepared --prepared_path runs/d4rl_r2/prep/eval_dp.npz \
+  --kp_index_mode selector --selector_ckpt runs/d4rl_r2/selector \
+  --dphi_ckpt runs/d4rl_r2/dphi \
+  --s2_noise_mode level --s2_noise_sigma 0.003 \
+  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
+  --out_dir runs/d4rl_r2/samples_selector
+
+# 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (VERDICT item 4)
+run_step idxmix 43200 env BASE=runs/d4rl_r2 STEPS=20000 \
+  bash scripts/pipelines/run_stage1_idxmix_ablation.sh
+
+echo "rundown complete $(date)"
