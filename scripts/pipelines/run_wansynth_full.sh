@@ -44,7 +44,7 @@ $RUNNER interpolated_diffusion_tpu.train.train_keypoints_wansynth \
 $RUNNER interpolated_diffusion_tpu.data.precompute_phase1_anchors \
   --ckpt "$OUT/p1/ckpt_$STEPS" --out_root "$OUT/anchors" \
   --data tar --data_root "$DATA_ROOT" --batch "$BATCH" \
-  --ddim_steps "${ANCHOR_DDIM:-4}"
+  --ddim_steps "${ANCHOR_DDIM:-4}" --cache_interval "${ANCHOR_CACHE:-1}"
 
 # Phase 2: token interp-level fine-tune joined with the Phase-1 anchors
 $RUNNER interpolated_diffusion_tpu.train.train_interp_levels_wansynth \
