@@ -73,7 +73,14 @@ class KeypointDenoiser(nn.Module):
         cond: Optional[Dict[str, jnp.ndarray]],
         T: int,
         deterministic: bool = True,
+        blocks_delta: Optional[jnp.ndarray] = None,  # [B, K, d_model] cached
+        return_delta: bool = False,
     ) -> jnp.ndarray:
+        # blocks_delta/return_delta: FORA-style transformer-stack caching for
+        # DDIM sampling (same scheme as WanDiT — see models/wan_dit.py): a
+        # full step returns the stack's total residual; a cached step skips
+        # all n_layers blocks and reuses it while the input projection,
+        # t/cond embeddings, and output head run fresh. Sampling-only.
         B, K, D = z_t.shape
         pos_dim = self.pos_dim if self.pos_dim is not None else self.d_model // 2
         pos = idx.astype(jnp.float32) / max(1.0, float(T - 1))
@@ -111,20 +118,27 @@ class KeypointDenoiser(nn.Module):
             cond_vec = jnp.zeros((B, self.d_cond), dtype=self.dtype)
         h = h + nn.Dense(self.d_model, dtype=self.dtype, name="cond_proj")(cond_vec)[:, None, :]
 
-        h = TransformerEncoder(
-            d_model=self.d_model,
-            n_layers=self.n_layers,
-            n_heads=self.n_heads,
-            d_ff=self.d_ff,
-            dropout=self.dropout,
-            use_film=True,
-            causal=False,
-            use_remat=self.use_remat,
-            dtype=self.dtype,
-            name="transformer",
-        )(h, cond_vec, deterministic)
+        h_in = h
+        if blocks_delta is not None:
+            h = h_in + blocks_delta.astype(h_in.dtype)
+        else:
+            h = TransformerEncoder(
+                d_model=self.d_model,
+                n_layers=self.n_layers,
+                n_heads=self.n_heads,
+                d_ff=self.d_ff,
+                dropout=self.dropout,
+                use_film=True,
+                causal=False,
+                use_remat=self.use_remat,
+                dtype=self.dtype,
+                name="transformer",
+            )(h_in, cond_vec, deterministic)
         out = nn.Dense(self.data_dim, dtype=self.dtype, name="out")(h)
-        return out.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        if return_delta:
+            return out, h - h_in
+        return out
 
 
 class InterpLevelDenoiser(nn.Module):

@@ -88,6 +88,11 @@ class PipelineConfig:
         recompute_vel: bool = False,
         stage2_mask_policy: str = "base",  # base | selector
         collect_steps: bool = False,       # also return per-step states
+        stage1_cache_interval: int = 1,    # FORA-style transformer caching
+                                           # in the Stage-1 DDIM scan: run
+                                           # the block stack every Nth step,
+                                           # reuse its residual in between
+                                           # (1 = exact)
         kp_feat_dim: int = 0,              # >0: rebuild kp_feat for the
                                            # Stage-1 model (meta use_kp_feat;
                                            # zeros otherwise would be
@@ -144,16 +149,48 @@ def make_pipeline(
         z = jax.random.normal(key, (B, K, data_dim))
         z = clip_pos(jnp.where(known_mask, known_values, z))
         t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
+        interval = max(1, int(cfg.stage1_cache_interval))
 
-        def body(z, pair):
-            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-            tp_b = jnp.full((B,), pair[1], dtype=jnp.int32)
-            eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, T)
-            z = ddim_step(z, eps, t_b, tp_b, kp_schedule)
-            z = clip_pos(jnp.where(known_mask, known_values, z))
-            return z, (z if cfg.collect_steps else None)
+        if interval == 1:
+            def body(z, pair):
+                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+                tp_b = jnp.full((B,), pair[1], dtype=jnp.int32)
+                eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, T)
+                z = ddim_step(z, eps, t_b, tp_b, kp_schedule)
+                z = clip_pos(jnp.where(known_mask, known_values, z))
+                return z, (z if cfg.collect_steps else None)
 
-        z, z_steps = jax.lax.scan(body, z, t_pairs)
+            z, z_steps = jax.lax.scan(body, z, t_pairs)
+        else:
+            # FORA-style: full transformer evaluation every `interval` steps,
+            # cached block residual in between (models/denoisers.py)
+            delta0 = jnp.zeros((B, K, kp_model.d_model), kp_model.dtype)
+
+            def body(carry, inp):
+                z, delta = carry
+                pair, i = inp
+                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+                tp_b = jnp.full((B,), pair[1], dtype=jnp.int32)
+
+                def full_step(z, _):
+                    return kp_model.apply(
+                        {"params": kp_params}, z, t_b, idx, known_mask, cond,
+                        T, return_delta=True)
+
+                def cached_step(z, delta):
+                    return (kp_model.apply(
+                        {"params": kp_params}, z, t_b, idx, known_mask, cond,
+                        T, blocks_delta=delta), delta)
+
+                eps, delta = jax.lax.cond(i % interval == 0, full_step,
+                                          cached_step, z, delta)
+                z = ddim_step(z, eps, t_b, tp_b, kp_schedule)
+                z = clip_pos(jnp.where(known_mask, known_values, z))
+                return (z, delta), (z if cfg.collect_steps else None)
+
+            steps_ix = jnp.arange(t_pairs.shape[0])
+            (z, _), z_steps = jax.lax.scan(body, (z, delta0),
+                                           (t_pairs, steps_ix))
         if cfg.logit_space:
             z = sigmoid_pos(z)
             if cfg.collect_steps:
@@ -376,6 +413,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--s2_noise_scale", type=float, default=1.0)
     p.add_argument("--pos_clip", type=int, default=1)
     p.add_argument("--compare_oracle", type=int, default=0)
+    p.add_argument("--stage1_cache_interval", type=int, default=1,
+                   help="FORA-style transformer caching in the Stage-1 DDIM "
+                        "scan: full block-stack evaluation every Nth step, "
+                        "cached residual in between (1 = exact; 2 ≈ halves "
+                        "Stage-1 compute at a small anchor-error cost)")
     p.add_argument("--stage1_cache", type=str, default="")
     p.add_argument("--stage1_cache_mode", type=str, default="none",
                    choices=["none", "save", "load", "auto"])
@@ -422,6 +464,7 @@ def main(argv=None):
         recompute_vel=bool(il_meta.get("recompute_vel", 0)) and int(kp_meta["data_dim"]) == 4,
         stage2_mask_policy=args.stage2_mask_policy,
         collect_steps=bool(args.save_steps),
+        stage1_cache_interval=args.stage1_cache_interval,
         kp_feat_dim=(int(kp_meta.get("kp_feat_dim", 0))
                      if kp_meta.get("use_kp_feat") else 0),
     )

@@ -46,6 +46,17 @@ run_step d4rl_sample_selector 3600 python -m \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
   --out_dir runs/d4rl_r2/samples_selector
 
+# 3c) FORA-cached Stage-1 sampling: quality + throughput vs the exact run
+run_step d4rl_sample_fora 3600 python -m \
+  interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/d4rl_r2/kp --interp_ckpt runs/d4rl_r2/il \
+  --dataset prepared --prepared_path runs/d4rl_r2/prep/eval_dp.npz \
+  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r2/dphi \
+  --stage1_cache_interval 2 \
+  --s2_noise_mode level --s2_noise_sigma 0.003 \
+  --pos_clip 1 --num_batches 8 --batch 64 \
+  --out_dir runs/d4rl_r2/samples_fora2
+
 # 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (VERDICT item 4)
 run_step idxmix 43200 env BASE=runs/d4rl_r2 STEPS=20000 \
   bash scripts/pipelines/run_stage1_idxmix_ablation.sh

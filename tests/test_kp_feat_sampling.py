@@ -150,3 +150,39 @@ def test_pipeline_dphi_fn_feeds_cost_channels():
     pipe_z = make_pipeline(kp, il, schedule, cfg, D)  # no dphi -> zeros
     z_zero = pipe_z(kp_params, il_params, jax.random.PRNGKey(3), idx, cond)[2]
     assert not np.allclose(np.asarray(z_auto), np.asarray(z_zero), atol=1e-6)
+
+
+def test_stage1_fora_cache_identity_and_divergence():
+    """KeypointDenoiser FORA plumbing: cached call with the delta from a full
+    call at the same inputs reproduces it exactly; the cached pipeline at
+    interval >= ddim_steps differs from the exact pipeline (approximation,
+    not a no-op) while preserving endpoint clamping."""
+    kp, il, kp_params, il_params = _models_and_params(kp_feat_dim=0)
+    B = 2
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, K, D))
+    t = jnp.array([3, 7], jnp.int32)
+    idx = jnp.broadcast_to(jnp.array([0, 9, 21, T - 1], jnp.int32), (B, K))
+    known = jnp.zeros((B, K, D), bool)
+    cond = {"occ": jnp.zeros((B, 1, GRID, GRID)),
+            "start_goal": jnp.full((B, 4), 0.5)}
+    out_full, delta = kp.apply({"params": kp_params}, z, t, idx, known, cond,
+                               T, return_delta=True)
+    out_cached = kp.apply({"params": kp_params}, z, t, idx, known, cond, T,
+                          blocks_delta=delta)
+    np.testing.assert_allclose(np.asarray(out_cached), np.asarray(out_full),
+                               atol=1e-6)
+
+    schedule = make_schedule("linear", 10)
+    outs = {}
+    for interval in (1, 4):
+        cfg = PipelineConfig(T=T, K=K, levels=LEVELS, K_min=K, ddim_steps=8,
+                             stage1_cache_interval=interval)
+        pipe = make_pipeline(kp, il, schedule, cfg, D)
+        outs[interval] = pipe(kp_params, il_params, jax.random.PRNGKey(3),
+                              idx, cond)[2]
+    z1, z4 = np.asarray(outs[1]), np.asarray(outs[4])
+    assert np.isfinite(z4).all()
+    assert not np.allclose(z1, z4, atol=1e-6)
+    # endpoint clamping survives the cached path
+    np.testing.assert_allclose(z4[:, 0, :2], 0.5, atol=1e-5)
+    np.testing.assert_allclose(z4[:, -1, :2], 0.5, atol=1e-5)
