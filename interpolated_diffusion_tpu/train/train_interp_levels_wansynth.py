@@ -235,19 +235,27 @@ def main(argv=None):
 
     from ..utils.memguard import check_cpu_mem
 
-    batch = batch0
+    import itertools
+
+    from ..utils.prefetch import DevicePrefetcher
+
+    def _put(b):
+        dev = {"latents": b["latents"], "text_embed": b["text_embed"]}
+        if "anchors" in b:
+            dev["anchors"] = b["anchors"]
+            dev["anchor_idx"] = b["anchor_idx"]
+        return shard_batch(dev, mesh)
+
+    host_iter = itertools.chain([batch0], loader)
+    dev_iter = (DevicePrefetcher(host_iter, _put, depth=args.prefetch_depth)
+                if args.prefetch_depth > 0 else map(_put, host_iter))
     t_prev = time.time()
     with mesh:
         for step in range(start_step, args.steps):
             check_cpu_mem(args.max_cpu_mem_percent)
-            dev = {"latents": batch["latents"], "text_embed": batch["text_embed"]}
-            if "anchors" in batch:
-                dev["anchors"] = batch["anchors"]
-                dev["anchor_idx"] = batch["anchor_idx"]
-            dev = shard_batch(dev, mesh)
+            dev = next(dev_iter)
             rng, k = jax.random.split(rng)
             state, metrics = train_step(state, base, dev, k)
-            batch = next(loader)
             if step % args.log_every == 0:
                 loss = float(metrics["loss"])
                 now = time.time()

@@ -27,6 +27,9 @@ def add_wansynth_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--latent_w", type=int, default=104)
     p.add_argument("--text_len", type=int, default=512)
     p.add_argument("--text_dim", type=int, default=4096)
+    p.add_argument("--prefetch_depth", type=int, default=2,
+                   help="device-ready batches prefetched on a background "
+                        "thread (utils/prefetch.py); 0 disables")
     add_memguard_args(p)
 
 
