@@ -144,14 +144,23 @@ def main(argv=None):
         json.dump({"args": vars(args), "meta": meta}, f, indent=2)
 
     rng = jax.random.PRNGKey(args.seed)
-    batch = batch0
+    import itertools
+
+    from ..utils.prefetch import DevicePrefetcher
+
+    def _put(b):
+        return shard_batch({"latents": b["latents"]}, mesh)
+
+    host_iter = itertools.chain([batch0], loader)
+    depth = getattr(args, "prefetch_depth", 2)
+    dev_iter = (DevicePrefetcher(host_iter, _put, depth=depth)
+                if depth > 0 else map(_put, host_iter))
     t0 = time.time()
     with mesh:
         for step in range(args.steps):
-            dev = shard_batch({"latents": batch["latents"]}, mesh)
+            dev = next(dev_iter)
             rng, k = jax.random.split(rng)
             state, metrics = train_step(state, dev, k)
-            batch = next(loader)
             if step % args.log_every == 0:
                 print(f"step {step} loss {float(metrics['loss']):.5f} "
                       f"recon {float(metrics['recon']):.5f} "
