@@ -123,3 +123,33 @@ def test_dphi_selector_and_selector_driven_training(prep_npz, tmp_path):
         "--out_dir", str(tmp_path / "gen"),
     ])
     assert "refined_collision_rate" in summary
+
+
+def test_stage2_mask_policy_mix_dp_and_validation(prep_npz, tmp_path):
+    """mask_policy_mix: the dp bucket pulls idx_base from the dataset's
+    kp_idx, selector entries demand a ckpt, unknown names fail."""
+    import pytest
+
+    from interpolated_diffusion_tpu.train.train_interp_levels import main
+
+    common = ["--dataset", "prepared", "--prepared_path", prep_npz, "--T", "32",
+              "--maze_h", "9", "--maze_w", "9", "--batch", "16",
+              "--d_model", "32", "--n_layers", "1", "--n_heads", "2",
+              "--d_ff", "64", "--maze_channels", "8", "--bf16", "0",
+              "--steps_per_call", "1", "--log_every", "1",
+              "--K_min", "4", "--levels", "2", "--mode", "adj"]
+    out = str(tmp_path / "il_dpmix")
+    main(common + ["--mask_policy_mix", "dp:0.7,uniform:0.3",
+                   "--steps", "2", "--save_every", "2", "--out_dir", out])
+    import os
+
+    assert os.path.exists(os.path.join(out, "ckpt_2"))
+
+    with pytest.raises(ValueError, match="selector"):
+        main(common + ["--mask_policy_mix", "selector:1.0",
+                       "--steps", "1", "--save_every", "1",
+                       "--out_dir", str(tmp_path / "x1")])
+    with pytest.raises(ValueError, match="unknown"):
+        main(common + ["--mask_policy_mix", "bogus:1.0",
+                       "--steps", "1", "--save_every", "1",
+                       "--out_dir", str(tmp_path / "x2")])
