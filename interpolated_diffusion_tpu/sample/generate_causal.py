@@ -42,7 +42,7 @@ def make_causal_pipeline(
     data_dim: int, logit_space: bool, logit_eps: float,
     clamp_endpoints: bool, clamp_policy: str, clamp_dims: str,
     recompute_vel: bool, mask_channels: int = 1, collect_chunks: bool = False,
-    kp_feat_dim: int = 0, dphi_fn=None,
+    kp_feat_dim: int = 0, dphi_fn=None, stage1_cache_interval: int = 1,
 ):
     """Returns pipeline(kp_params, interp_params, key, cond) -> x_gen [B,T,D]
     (plus the per-chunk prefix states [n_chunks,B,T,D] with collect_chunks —
@@ -68,14 +68,42 @@ def make_causal_pipeline(
         z = jax.random.normal(key, (B, K, data_dim))
         z = jnp.where(known_mask, known_values, z)
         t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
+        interval = max(1, int(stage1_cache_interval))
 
-        def body(z, pair):
-            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-            eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, local_T)
-            z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), kp_schedule)
-            return jnp.where(known_mask, known_values, z), None
+        if interval == 1:
+            def body(z, pair):
+                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+                eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, local_T)
+                z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), kp_schedule)
+                return jnp.where(known_mask, known_values, z), None
 
-        z, _ = jax.lax.scan(body, z, t_pairs)
+            z, _ = jax.lax.scan(body, z, t_pairs)
+        else:
+            # FORA-style per-chunk cache (same scheme as sample/generate.py)
+            delta0 = jnp.zeros((B, K, kp_model.d_model), kp_model.dtype)
+
+            def body(carry, inp):
+                z, delta = carry
+                pair, i = inp
+                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+
+                def full_step(z, _):
+                    return kp_model.apply(
+                        {"params": kp_params}, z, t_b, idx, known_mask, cond,
+                        local_T, return_delta=True)
+
+                def cached_step(z, delta):
+                    return (kp_model.apply(
+                        {"params": kp_params}, z, t_b, idx, known_mask, cond,
+                        local_T, blocks_delta=delta), delta)
+
+                eps, delta = jax.lax.cond(i % interval == 0, full_step,
+                                          cached_step, z, delta)
+                z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), kp_schedule)
+                return (jnp.where(known_mask, known_values, z), delta), None
+
+            (z, _), _ = jax.lax.scan(
+                body, (z, delta0), (t_pairs, jnp.arange(t_pairs.shape[0])))
         if logit_space:
             z = sigmoid_pos(z)
         return z
@@ -230,6 +258,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--K_min", type=int, default=4)
     p.add_argument("--dphi_ckpt", type=str, default=None,
                    help="segment-cost ckpt for the kp_feat cost channels")
+    p.add_argument("--stage1_cache_interval", type=int, default=1,
+                   help="FORA-style transformer caching in each chunk's "
+                        "DDIM scan (1 = exact)")
     p.add_argument("--ddim_steps", type=int, default=10)
     p.add_argument("--num_batches", type=int, default=2)
     p.add_argument("--batch", type=int, default=32)
@@ -278,6 +309,7 @@ def main(argv=None):
         kp_feat_dim=(int(kp_meta.get("kp_feat_dim", 0))
                      if kp_meta.get("use_kp_feat") else 0),
         dphi_fn=dphi_fn,
+        stage1_cache_interval=args.stage1_cache_interval,
     ))
 
     args.T = T

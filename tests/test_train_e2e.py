@@ -76,6 +76,17 @@ def test_generate_causal_pipeline(tmp_run):
     ])
     assert os.path.exists(os.path.join(out, "metrics.csv"))
     assert "collision_rate" in summary
+    # FORA-cached chunk DDIM runs end-to-end too
+    summary2 = main([
+        "--kp_ckpt", str(tmp_run / "kp" / "ckpt_6"),
+        "--interp_ckpt", str(tmp_run / "il_causal" / "ckpt_2"),
+        "--chunk", "8", "--K_min", "3", "--ddim_steps", "4",
+        "--stage1_cache_interval", "2",
+        "--num_batches", "1", "--batch", "4", "--num_samples", "64",
+        "--maze_h", "9", "--maze_w", "9", "--bf16", "0",
+        "--out_dir", str(tmp_run / "gen_causal_fora"),
+    ])
+    assert np.isfinite(summary2["collision_rate"])
 
 
 def test_generate_pipeline_and_metrics(tmp_run):
