@@ -42,6 +42,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "residual in between (embed/cond/head stay fresh). "
                         "1 = exact; 2-3 trades small anchor error for ~N× "
                         "fewer block-stack evaluations. use_wan only.")
+    p.add_argument("--attn_mode", type=str, default=None,
+                   choices=["dense", "flash", "sla", "sage_sla"],
+                   help="override the checkpoint's attention mode for "
+                        "sampling (e.g. sage_sla for the fastest precompute "
+                        "— attention weights are mode-agnostic)")
+    p.add_argument("--sla_topk", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", type=int, default=1)
     return p
@@ -74,8 +80,11 @@ def main(argv=None):
         for k_, v_ in dict(
             wan_dim=meta["wan_dim"], wan_layers=meta["wan_layers"],
             wan_heads=meta["wan_heads"], wan_ffn=meta["wan_ffn"],
-            latent_c=C, text_dim=meta["text_dim"], attn_mode=meta["attn_mode"],
-            sla_topk=meta["sla_topk"], sla_block=128, use_remat=0,
+            latent_c=C, text_dim=meta["text_dim"],
+            attn_mode=args.attn_mode or meta["attn_mode"],
+            sla_topk=(args.sla_topk if args.sla_topk is not None
+                      else meta["sla_topk"]),
+            sla_block=128, use_remat=0,
             lora_rank=meta["lora_rank"], lora_alpha=meta["lora_alpha"],
             lora_form=meta.get("lora_form", "merged"),
             lora_targets=meta.get("lora_targets", "attn,ffn"),
