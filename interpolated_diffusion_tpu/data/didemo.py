@@ -243,20 +243,77 @@ class RawClipDataset:
 # raw video decode (host-side, optional)
 # ---------------------------------------------------------------------------
 
+def _crop_resize(clip: np.ndarray, frame_size: int) -> np.ndarray:
+    """[T,H,W,3] float frames → center-crop square → [T,3,S,S]."""
+    h, w = clip.shape[1:3]
+    side = min(h, w)
+    y0, x0 = (h - side) // 2, (w - side) // 2
+    clip = clip[:, y0:y0 + side, x0:x0 + side]
+    from .toy_video import bilinear_resize
+
+    chw = np.transpose(clip, (0, 3, 1, 2))
+    return bilinear_resize(chw, frame_size, frame_size).astype(np.float32)
+
+
+def _read_clip_cv2(path: str, start_sec: float, end_sec: float, T: int,
+                   frame_size: int) -> np.ndarray:
+    """OpenCV VideoCapture decode — the C++ decode path (decord analogue,
+    reference src/data/video_io.py:11-21). One seek to the window start,
+    then a sequential read keeping the T selected frames (frame-accurate,
+    unlike repeated random seeks)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        cap.release()
+        raise IOError(f"cv2 cannot open {path}")
+    try:
+        fps = float(cap.get(cv2.CAP_PROP_FPS)) or 25.0
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n <= 0:
+            raise IOError(f"cv2 reports no frames for {path}")
+        lo = min(max(int(start_sec * fps), 0), n - 1)
+        hi = min(max(int(end_sec * fps), lo + 1), n)
+        sel = np.linspace(lo, hi - 1, T).round().astype(int)
+        wanted = {}
+        cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
+        for fi in range(lo, hi):
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if fi in set(sel.tolist()):
+                wanted[fi] = frame[:, :, ::-1]  # BGR → RGB
+        if not wanted:
+            raise IOError(f"decoded no frames in [{lo}, {hi}) from {path}")
+        keys = sorted(wanted)
+        frames = [wanted[fi] if fi in wanted
+                  else wanted[min(keys, key=lambda k: abs(k - fi))]
+                  for fi in sel]
+    finally:
+        cap.release()
+    clip = np.stack(frames).astype(np.float32) / 255.0
+    return _crop_resize(clip, frame_size)
+
+
 def read_video_clip(
     path: str, start_sec: float, end_sec: float, T: int, frame_size: int,
 ) -> np.ndarray:
     """Decode T center-cropped frames from [start, end] seconds.
 
-    Uses imageio(-ffmpeg) when importable; raises ImportError otherwise —
-    raw decode is a prep-time concern, never in the accelerator path
-    (reference src/data/video_io.py used decord/imageio the same way).
+    Prefers OpenCV's native C++ decoder (the decord analogue); falls back to
+    imageio(+pyav) when cv2 is absent. Raw decode is a prep-time concern,
+    never in the accelerator path (reference src/data/video_io.py used
+    decord/imageio the same way).
     """
+    try:
+        return _read_clip_cv2(path, start_sec, end_sec, T, frame_size)
+    except ImportError:
+        pass
     try:
         import imageio.v3 as iio
     except ImportError as e:
         raise ImportError(
-            "raw video decode needs imageio; use precomputed caches instead"
+            "raw video decode needs cv2 or imageio; use precomputed caches"
         ) from e
     frames = iio.imread(path, plugin="pyav")  # [N,H,W,3]
     n = frames.shape[0]
@@ -267,11 +324,4 @@ def read_video_clip(
     hi = min(max(int(end_sec * fps), lo + 1), n)
     sel = np.linspace(lo, hi - 1, T).round().astype(int)
     clip = frames[sel].astype(np.float32) / 255.0
-    h, w = clip.shape[1:3]
-    side = min(h, w)
-    y0, x0 = (h - side) // 2, (w - side) // 2
-    clip = clip[:, y0:y0 + side, x0:x0 + side]
-    from .toy_video import bilinear_resize
-
-    chw = np.transpose(clip, (0, 3, 1, 2))
-    return bilinear_resize(chw, frame_size, frame_size)
+    return _crop_resize(clip, frame_size)

@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts",
                                 "datasets"))
@@ -106,3 +107,28 @@ def test_make_synth_tars_matches_dataset(tmp_path):
     for i, s in enumerate(ds):
         np.testing.assert_allclose(s["latents"], ref.get(i)["latents"],
                                    atol=1e-6)
+
+
+def test_read_video_clip_cv2_decode(tmp_path):
+    """Native (OpenCV C++) video decode path — the decord analogue: write a
+    real MJPG container, read a time window back, check shape/order/colors."""
+    cv2 = pytest.importorskip("cv2")
+
+    path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (64, 48))
+    if not w.isOpened():
+        pytest.skip("cv2 build lacks an encoder")
+    for i in range(30):
+        frame = np.full((48, 64, 3), i * 8, np.uint8)
+        frame[:, :, 2] = 255 - i * 8            # BGR red channel ramps DOWN
+        w.write(frame)
+    w.release()
+
+    from interpolated_diffusion_tpu.data.didemo import read_video_clip
+
+    clip = read_video_clip(path, 0.5, 2.5, T=4, frame_size=16)
+    assert clip.shape == (4, 3, 16, 16) and clip.dtype == np.float32
+    means = clip.mean(axis=(1, 2, 3))
+    assert np.all(np.diff(means) > 0)           # temporal ramp preserved
+    red = clip[:, 0].mean(axis=(1, 2))
+    assert red[0] > red[-1]                     # BGR→RGB swap happened
