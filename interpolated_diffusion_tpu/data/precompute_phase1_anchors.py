@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.video_denoisers import VideoTokenKeypointDenoiser
-from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
 from ..ops.keyframes import sample_fixed_k_indices_uniform_batch
 from ..ops.schedules import make_schedule
 from ..utils.checkpoint import read_meta, load_checkpoint
@@ -164,43 +164,18 @@ def main(argv=None):
     def sample_anchors(key, idx, text):
         B = idx.shape[0]
         z = jax.random.normal(key, (B, K, N, D_tok))
-        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
 
-        if interval == 1:
-            def body(z, pair):
-                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-                eps = eps_fn(z.astype(jnp.float32), t_b, idx, text)
-                z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), schedule)
-                return z, None
+        def scan_eps(z, t_b, blocks_delta=None, return_delta=False):
+            return eps_fn(z.astype(jnp.float32), t_b, idx, text,
+                          blocks_delta, return_delta) if meta.get("use_wan") \
+                else eps_fn(z.astype(jnp.float32), t_b, idx, text)
 
-            z, _ = jax.lax.scan(body, z, t_pairs)
-            return unpatchify_tokens(z, p_sz, spatial)
-
-        # FORA-style: full block-stack evaluation every `interval` steps;
-        # in between, reuse the carried residual (embed/cond/head fresh)
-        dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
-        delta0 = jnp.zeros((B, *cache_shape), dt_)
-
-        def body(carry, inp):
-            z, delta = carry
-            pair, i = inp
-            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-
-            def full_step(z, _):
-                return eps_fn(z.astype(jnp.float32), t_b, idx, text,
-                              None, True)
-
-            def cached_step(z, delta):
-                return (eps_fn(z.astype(jnp.float32), t_b, idx, text,
-                               delta, False), delta)
-
-            eps, delta = jax.lax.cond(i % interval == 0, full_step,
-                                      cached_step, z, delta)
-            z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), schedule)
-            return (z, delta), None
-
-        steps = jnp.arange(t_pairs.shape[0])
-        (z, _), _ = jax.lax.scan(body, (z, delta0), (t_pairs, steps))
+        delta0 = None
+        if interval > 1:
+            dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
+            delta0 = jnp.zeros((B, *cache_shape), dt_)
+        z, _ = ddim_scan(scan_eps, z, times, schedule,
+                         cache_interval=interval, delta0=delta0)
         return unpatchify_tokens(z, p_sz, spatial)   # [B,K,C,H,W]
 
     # Output shards MIRROR the source shard basenames: the trainer-side

@@ -208,3 +208,63 @@ def ddpm_sample(
 
     xt, _ = jax.lax.scan(body, xt, (times, step_keys))
     return xt
+
+
+def ddim_scan(
+    eps_fn,
+    z: jnp.ndarray,
+    times: jnp.ndarray,
+    schedule,
+    post=None,
+    cache_interval: int = 1,
+    delta0: jnp.ndarray | None = None,
+    collect: bool = False,
+):
+    """Shared DDIM reverse scan with optional FORA-style block caching.
+
+    eps_fn(z, t_b, *, blocks_delta=None, return_delta=False) — with
+    cache_interval > 1 the model's block stack is evaluated only every
+    interval-th step and its residual (`delta0`-shaped) reused in between
+    (models/denoisers.py / models/wan_dit.py implement the two kwargs).
+    post(z) runs after every ddim_step (known-value clamping, pos clipping).
+    Returns z, or (z, stacked per-step states) with collect=True.
+    """
+    B = z.shape[0]
+    post = post or (lambda x: x)
+    t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
+    interval = max(1, int(cache_interval))
+
+    if interval == 1:
+        def body(z, pair):
+            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+            eps = eps_fn(z, t_b)
+            z = post(ddim_step(z, eps, t_b,
+                               jnp.full((B,), pair[1], dtype=jnp.int32),
+                               schedule))
+            return z, (z if collect else None)
+
+        return jax.lax.scan(body, z, t_pairs)
+
+    if delta0 is None:
+        raise ValueError("cache_interval > 1 needs delta0 (residual shape)")
+
+    def body(carry, inp):
+        z, delta = carry
+        pair, i = inp
+        t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
+
+        def full_step(z, _):
+            return eps_fn(z, t_b, return_delta=True)
+
+        def cached_step(z, delta):
+            return eps_fn(z, t_b, blocks_delta=delta), delta
+
+        eps, delta = jax.lax.cond(i % interval == 0, full_step, cached_step,
+                                  z, delta)
+        z = post(ddim_step(z, eps, t_b,
+                           jnp.full((B,), pair[1], dtype=jnp.int32), schedule))
+        return (z, delta), (z if collect else None)
+
+    (z, _), ys = jax.lax.scan(body, (z, delta0),
+                              (t_pairs, jnp.arange(t_pairs.shape[0])))
+    return z, ys

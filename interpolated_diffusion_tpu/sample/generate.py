@@ -27,7 +27,7 @@ import numpy as np
 from ..eval.metrics import compute_metrics_batch
 from ..models.denoisers import InterpLevelDenoiser, KeypointDenoiser
 from ..ops.clamp import apply_clamp, apply_soft_clamp
-from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
 from ..ops.keyframes import (
     build_nested_masks_from_base,
     compute_k_schedule,
@@ -148,49 +148,18 @@ def make_pipeline(
             known_values = logit_pos(known_values, eps=cfg.logit_eps)
         z = jax.random.normal(key, (B, K, data_dim))
         z = clip_pos(jnp.where(known_mask, known_values, z))
-        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
-        interval = max(1, int(cfg.stage1_cache_interval))
 
-        if interval == 1:
-            def body(z, pair):
-                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-                tp_b = jnp.full((B,), pair[1], dtype=jnp.int32)
-                eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, T)
-                z = ddim_step(z, eps, t_b, tp_b, kp_schedule)
-                z = clip_pos(jnp.where(known_mask, known_values, z))
-                return z, (z if cfg.collect_steps else None)
+        def eps_fn(z, t_b, **cache_kw):
+            return kp_model.apply({"params": kp_params}, z, t_b, idx,
+                                  known_mask, cond, T, **cache_kw)
 
-            z, z_steps = jax.lax.scan(body, z, t_pairs)
-        else:
-            # FORA-style: full transformer evaluation every `interval` steps,
-            # cached block residual in between (models/denoisers.py)
-            delta0 = jnp.zeros((B, K, kp_model.d_model), kp_model.dtype)
-
-            def body(carry, inp):
-                z, delta = carry
-                pair, i = inp
-                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-                tp_b = jnp.full((B,), pair[1], dtype=jnp.int32)
-
-                def full_step(z, _):
-                    return kp_model.apply(
-                        {"params": kp_params}, z, t_b, idx, known_mask, cond,
-                        T, return_delta=True)
-
-                def cached_step(z, delta):
-                    return (kp_model.apply(
-                        {"params": kp_params}, z, t_b, idx, known_mask, cond,
-                        T, blocks_delta=delta), delta)
-
-                eps, delta = jax.lax.cond(i % interval == 0, full_step,
-                                          cached_step, z, delta)
-                z = ddim_step(z, eps, t_b, tp_b, kp_schedule)
-                z = clip_pos(jnp.where(known_mask, known_values, z))
-                return (z, delta), (z if cfg.collect_steps else None)
-
-            steps_ix = jnp.arange(t_pairs.shape[0])
-            (z, _), z_steps = jax.lax.scan(body, (z, delta0),
-                                           (t_pairs, steps_ix))
+        z, z_steps = ddim_scan(
+            eps_fn, z, times, kp_schedule,
+            post=lambda z: clip_pos(jnp.where(known_mask, known_values, z)),
+            cache_interval=cfg.stage1_cache_interval,
+            delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
+            collect=cfg.collect_steps,
+        )
         if cfg.logit_space:
             z = sigmoid_pos(z)
             if cfg.collect_steps:

@@ -27,7 +27,7 @@ import numpy as np
 from ..eval.metrics import compute_metrics_batch
 from ..models.loading import load_interp_model, load_keypoint_model
 from ..ops.clamp import apply_clamp
-from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
 from ..ops.keyframes import interpolate_from_indices, sample_fixed_k_indices_batch
 from ..ops.normalize import logit_pos, sigmoid_pos
 from ..ops.schedules import make_schedule
@@ -55,7 +55,7 @@ def make_causal_pipeline(
     def stage1_chunk(kp_params, key, idx, known_mask, known_values, cond, local_T):
         B, K = idx.shape
         if kp_feat_dim > 0:
-            from ..ops.selection import build_kp_feat_batch, build_kp_feat_full
+            from ..ops.selection import build_kp_feat_full
 
             # geometry channels normalize by the chunk's local_T; D_phi cost
             # features normalize by the FULL T (the reference gathers chunk-
@@ -67,43 +67,17 @@ def make_causal_pipeline(
             cond["kp_feat"] = feat
         z = jax.random.normal(key, (B, K, data_dim))
         z = jnp.where(known_mask, known_values, z)
-        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
-        interval = max(1, int(stage1_cache_interval))
 
-        if interval == 1:
-            def body(z, pair):
-                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-                eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, local_T)
-                z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), kp_schedule)
-                return jnp.where(known_mask, known_values, z), None
+        def eps_fn(z, t_b, **cache_kw):
+            return kp_model.apply({"params": kp_params}, z, t_b, idx,
+                                  known_mask, cond, local_T, **cache_kw)
 
-            z, _ = jax.lax.scan(body, z, t_pairs)
-        else:
-            # FORA-style per-chunk cache (same scheme as sample/generate.py)
-            delta0 = jnp.zeros((B, K, kp_model.d_model), kp_model.dtype)
-
-            def body(carry, inp):
-                z, delta = carry
-                pair, i = inp
-                t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-
-                def full_step(z, _):
-                    return kp_model.apply(
-                        {"params": kp_params}, z, t_b, idx, known_mask, cond,
-                        local_T, return_delta=True)
-
-                def cached_step(z, delta):
-                    return (kp_model.apply(
-                        {"params": kp_params}, z, t_b, idx, known_mask, cond,
-                        local_T, blocks_delta=delta), delta)
-
-                eps, delta = jax.lax.cond(i % interval == 0, full_step,
-                                          cached_step, z, delta)
-                z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), kp_schedule)
-                return (jnp.where(known_mask, known_values, z), delta), None
-
-            (z, _), _ = jax.lax.scan(
-                body, (z, delta0), (t_pairs, jnp.arange(t_pairs.shape[0])))
+        z, _ = ddim_scan(
+            eps_fn, z, times, kp_schedule,
+            post=lambda z: jnp.where(known_mask, known_values, z),
+            cache_interval=stage1_cache_interval,
+            delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
+        )
         if logit_space:
             z = sigmoid_pos(z)
         return z

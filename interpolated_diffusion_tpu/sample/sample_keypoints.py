@@ -18,7 +18,7 @@ import numpy as np
 
 from ..eval.metrics import compute_metrics_batch
 from ..models.loading import load_keypoint_model
-from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
 from ..ops.keyframes import interpolate_from_indices
 from ..ops.normalize import logit_pos, sigmoid_pos
 from ..ops.schedules import make_schedule
@@ -88,19 +88,18 @@ def main(argv=None):
             known_values = logit_pos(known_values)
         z = jax.random.normal(key, (B, K, D))
         z = jnp.where(known_mask, known_values, z)
-        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
 
-        def body(z, pair):
-            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-            eps = model.apply({"params": params}, z, t_b, idx, known_mask, cond, T)
-            z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32),
-                          schedule)
+        def eps_fn(z, t_b, **cache_kw):
+            return model.apply({"params": params}, z, t_b, idx, known_mask,
+                               cond, T, **cache_kw)
+
+        def post(z):
             z = jnp.where(known_mask, known_values, z)
             if args.pos_clip:
                 z = z.at[..., :2].set(jnp.clip(z[..., :2], 0.0, 1.0))
-            return z, None
+            return z
 
-        z, _ = jax.lax.scan(body, z, t_pairs)
+        z, _ = ddim_scan(eps_fn, z, times, schedule, post=post)
         if logit_space:
             z = sigmoid_pos(z)
         x = interpolate_from_indices(idx, z, T)

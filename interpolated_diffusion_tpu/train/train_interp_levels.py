@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.denoisers import InterpLevelDenoiser, KeypointDenoiser
-from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
 from ..ops.keyframes import build_nested_masks_from_base, build_nested_masks_batch
 from ..ops.normalize import logit_pos, sigmoid_pos
 from ..ops.schedules import make_schedule
@@ -301,17 +301,15 @@ def make_bootstrap_sampler(args, data_dim: int):
             known_values = logit_pos(known_values, eps=logit_eps)
         z = jax.random.normal(key, (B, K_, data_dim))
         z = jnp.where(known_mask, known_values, z)
-        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
 
-        def body(z, pair):
-            t_now, t_prev = pair
-            t_b = jnp.full((B,), t_now, dtype=jnp.int32)
-            eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, cond, T)
-            z = ddim_step(z, eps, t_b, jnp.full((B,), t_prev, dtype=jnp.int32), kp_schedule)
-            z = jnp.where(known_mask, known_values, z)
-            return z, None
+        def eps_fn(z, t_b, **cache_kw):
+            return kp_model.apply({"params": kp_params}, z, t_b, idx,
+                                  known_mask, cond, T, **cache_kw)
 
-        z, _ = jax.lax.scan(body, z, t_pairs)
+        z, _ = ddim_scan(
+            eps_fn, z, times, kp_schedule,
+            post=lambda z: jnp.where(known_mask, known_values, z),
+        )
         if logit_space:
             z = sigmoid_pos(z)
         return z
