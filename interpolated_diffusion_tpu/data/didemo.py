@@ -275,13 +275,14 @@ def _read_clip_cv2(path: str, start_sec: float, end_sec: float, T: int,
         lo = min(max(int(start_sec * fps), 0), n - 1)
         hi = min(max(int(end_sec * fps), lo + 1), n)
         sel = np.linspace(lo, hi - 1, T).round().astype(int)
+        sel_set = set(sel.tolist())
         wanted = {}
         cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
         for fi in range(lo, hi):
             ok, frame = cap.read()
             if not ok:
                 break
-            if fi in set(sel.tolist()):
+            if fi in sel_set:
                 wanted[fi] = frame[:, :, ::-1]  # BGR → RGB
         if not wanted:
             raise IOError(f"decoded no frames in [{lo}, {hi}) from {path}")
@@ -305,16 +306,17 @@ def read_video_clip(
     never in the accelerator path (reference src/data/video_io.py used
     decord/imageio the same way).
     """
+    cv2_err = None
     try:
         return _read_clip_cv2(path, start_sec, end_sec, T, frame_size)
-    except ImportError:
-        pass
+    except Exception as e:  # not just ImportError: a container cv2's build
+        cv2_err = e          # can't open may still decode via imageio+pyav
     try:
         import imageio.v3 as iio
-    except ImportError as e:
-        raise ImportError(
-            "raw video decode needs cv2 or imageio; use precomputed caches"
-        ) from e
+    except ImportError:
+        raise (cv2_err if not isinstance(cv2_err, ImportError) else
+               ImportError("raw video decode needs cv2 or imageio; "
+                           "use precomputed caches"))
     frames = iio.imread(path, plugin="pyav")  # [N,H,W,3]
     n = frames.shape[0]
     # assume constant fps over the container metadata window

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.video_denoisers import VideoTokenKeypointDenoiser
-from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, make_timesteps
 from ..ops.keyframes import sample_fixed_k_indices_uniform_batch
 from ..ops.schedules import make_schedule
 from ..utils.checkpoint import read_meta, load_checkpoint

@@ -27,7 +27,7 @@ import numpy as np
 from ..eval.metrics import compute_metrics_batch
 from ..models.denoisers import InterpLevelDenoiser, KeypointDenoiser
 from ..ops.clamp import apply_clamp, apply_soft_clamp
-from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, make_timesteps
 from ..ops.keyframes import (
     build_nested_masks_from_base,
     compute_k_schedule,

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..eval.metrics import compute_metrics_batch
 from ..models.loading import load_keypoint_model
-from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, make_timesteps
 from ..ops.keyframes import interpolate_from_indices
 from ..ops.normalize import logit_pos, sigmoid_pos
 from ..ops.schedules import make_schedule

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.denoisers import InterpLevelDenoiser, KeypointDenoiser
-from ..ops.ddpm import ddim_scan, ddim_step, make_timesteps
+from ..ops.ddpm import ddim_scan, make_timesteps
 from ..ops.keyframes import build_nested_masks_from_base, build_nested_masks_batch
 from ..ops.normalize import logit_pos, sigmoid_pos
 from ..ops.schedules import make_schedule

@@ -288,6 +288,8 @@ def main(argv=None):
                     to_save["wan_base"] = base
                 save_checkpoint(os.path.join(args.out_dir, f"ckpt_{step + 1}"),
                                 to_save, None, step + 1, state.ema_params, meta)
+    if hasattr(dev_iter, "close"):
+        dev_iter.close()   # stop the prefetch thread, free queued batches
     return state
 
 

@@ -126,9 +126,10 @@ def main(argv=None):
         return shard_batch({"latents": b["latents"]}, mesh)
 
     host_iter = itertools.chain([batch0], loader)
-    depth = getattr(args, "prefetch_depth", 2)
-    dev_iter = (DevicePrefetcher(host_iter, _put, depth=depth)
-                if depth > 0 else map(_put, host_iter))
+    dev_iter = (DevicePrefetcher(host_iter, _put,
+                                 depth=args.prefetch_depth)
+                if args.prefetch_depth > 0
+                else map(_put, host_iter))
     t0 = time.time()
     with mesh:
         for step in range(args.steps):
@@ -142,6 +143,8 @@ def main(argv=None):
             if (step + 1) % args.save_every == 0 or step + 1 == args.steps:
                 save_checkpoint(os.path.join(args.out_dir, f"ckpt_{step + 1}"),
                                 state.params, None, step + 1, None, meta)
+    if hasattr(dev_iter, "close"):
+        dev_iter.close()   # stop the prefetch thread, free queued batches
     return state
 
 

@@ -28,7 +28,10 @@ class DevicePrefetcher:
     put_fn maps a host batch to device arrays (e.g. parallel.mesh.shard_batch
     bound to a mesh). depth bounds the number of in-flight device batches —
     2 is enough to hide one transfer behind one step; more only adds HBM
-    pressure. Exceptions from the loader or put_fn re-raise at the consumer.
+    pressure. Exceptions from the loader or put_fn re-raise at the consumer
+    (sticky: every subsequent next() re-raises rather than blocking).
+    close() stops the producer and drops queued device batches; it is also
+    called automatically when the stream ends or errors.
     """
 
     def __init__(self, loader: Iterator[Any], put_fn: Callable[[Any], Any],
@@ -36,25 +39,59 @@ class DevicePrefetcher:
         self._q: "queue.Queue[Any]" = queue.Queue(maxsize=max(1, depth))
         self._loader = iter(loader)
         self._put_fn = put_fn
+        self._stop = threading.Event()
+        self._terminal: Any = None   # _Stop or BaseException once finished
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def _enqueue(self, item: Any) -> bool:
+        """Bounded put that gives up when close() is requested."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _run(self) -> None:
         try:
             for batch in self._loader:
-                self._q.put(self._put_fn(batch))
+                if not self._enqueue(self._put_fn(batch)):
+                    return
         except BaseException as e:  # surface loader/transfer errors
-            self._q.put(e)
+            if isinstance(e, StopIteration):
+                # would silently end the consumer's for-loop — make it loud
+                e = RuntimeError("prefetch loader/put_fn raised StopIteration")
+            self._enqueue(e)
             return
-        self._q.put(_Stop)
+        self._enqueue(_Stop)
+
+    def close(self) -> None:
+        """Stop the producer and release queued device batches."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._terminal is not None:
+            if self._terminal is _Stop:
+                raise StopIteration
+            raise self._terminal
         item = self._q.get()
         if item is _Stop:
+            self._terminal = item
+            self.close()
             raise StopIteration
         if isinstance(item, BaseException):
+            self._terminal = item
+            self.close()
             raise item
         return item
