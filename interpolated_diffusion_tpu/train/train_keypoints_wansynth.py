@@ -75,6 +75,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--n_data_shards", type=int, default=None)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of a post-compile step "
+                        "window into this dir (view with TensorBoard)")
+    p.add_argument("--profile_start", type=int, default=3)
+    p.add_argument("--profile_steps", type=int, default=3)
     # token-transformer fallback (use_wan=0)
     p.add_argument("--d_model", type=int, default=512)
     p.add_argument("--n_layers", type=int, default=8)
@@ -270,9 +275,20 @@ def main(argv=None):
     with mesh:
         for step in range(start_step, args.steps):
             check_cpu_mem(args.max_cpu_mem_percent)
+            if args.profile_dir and step == start_step + args.profile_start:
+                # trace a post-compile step window (TensorBoard-readable)
+                from ..utils.profiling import trace as profiler_trace
+
+                profile_ctx = profiler_trace(args.profile_dir)
+                profile_ctx.__enter__()
             dev = next(dev_iter)
             rng, k = jax.random.split(rng)
             state, metrics = train_step(state, base, dev, k)
+            if args.profile_dir and \
+                    step == start_step + args.profile_start + args.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                profile_ctx.__exit__(None, None, None)
+                print(f"profiler trace written to {args.profile_dir}")
             if step % args.log_every == 0:
                 loss = float(metrics["loss"])  # device sync = true step timing
                 now = time.time()
