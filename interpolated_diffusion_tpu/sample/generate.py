@@ -93,6 +93,11 @@ class PipelineConfig:
                                            # the block stack every Nth step,
                                            # reuse its residual in between
                                            # (1 = exact)
+        stage1_best_of: int = 1,           # sample N anchor sets and keep
+                                           # the one whose interpolation has
+                                           # the lowest collision rate
+                                           # against the occupancy grid
+                                           # (beyond-reference search knob)
         kp_feat_dim: int = 0,              # >0: rebuild kp_feat for the
                                            # Stage-1 model (meta use_kp_feat;
                                            # zeros otherwise would be
@@ -254,6 +259,30 @@ def make_pipeline(
             z_pred = z_override
         elif cfg.collect_steps:
             z_pred, z_steps = stage1(kp_params, k1, idx, kp_cond)
+        elif cfg.stage1_best_of > 1:
+            # best-of-N anchors: sample N candidate sets, keep the one whose
+            # interpolation collides least with the occupancy grid — the
+            # grid is part of the conditioning, so this is oracle-free
+            keys = jax.random.split(k1, cfg.stage1_best_of)
+            z_cands = jax.vmap(
+                lambda k: stage1(kp_params, k, idx, kp_cond))(keys)
+            x_cands = jax.vmap(lambda z: interpolate_from_indices(
+                idx, z, T, recompute_velocity=cfg.recompute_vel))(z_cands)
+            occ = cond["occ"][:, 0] if cond["occ"].ndim == 4 else cond["occ"]
+            h, w = occ.shape[-2:]
+
+            def coll_score(x):
+                from ..eval.metrics import _pos_to_cell
+
+                i, j, oob = _pos_to_cell(x[..., :2], h, w)
+                b = jnp.arange(x.shape[0])[:, None]
+                hit = (occ[b, i, j] > 0.5) | oob
+                return hit.astype(jnp.float32).mean(axis=1)      # [B]
+
+            scores = jax.vmap(coll_score)(x_cands)               # [N, B]
+            best = jnp.argmin(scores, axis=0)                    # [B]
+            z_pred = jnp.take_along_axis(
+                z_cands, best[None, :, None, None], axis=0)[0]
         else:
             z_pred = stage1(kp_params, k1, idx, kp_cond)
         x_interp = interpolate_from_indices(
@@ -382,6 +411,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--s2_noise_scale", type=float, default=1.0)
     p.add_argument("--pos_clip", type=int, default=1)
     p.add_argument("--compare_oracle", type=int, default=0)
+    p.add_argument("--stage1_best_of", type=int, default=1,
+                   help="sample N Stage-1 anchor sets and keep the lowest-"
+                        "collision interpolation per sample (oracle-free "
+                        "occupancy scoring; beyond-reference quality knob)")
     p.add_argument("--stage1_cache_interval", type=int, default=1,
                    help="FORA-style transformer caching in the Stage-1 DDIM "
                         "scan: full block-stack evaluation every Nth step, "
@@ -434,6 +467,7 @@ def main(argv=None):
         stage2_mask_policy=args.stage2_mask_policy,
         collect_steps=bool(args.save_steps),
         stage1_cache_interval=args.stage1_cache_interval,
+        stage1_best_of=args.stage1_best_of,
         kp_feat_dim=(int(kp_meta.get("kp_feat_dim", 0))
                      if kp_meta.get("use_kp_feat") else 0),
     )

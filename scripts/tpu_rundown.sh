@@ -57,6 +57,18 @@ run_step d4rl_sample_fora 3600 python -m \
   --pos_clip 1 --num_batches 8 --batch 64 \
   --out_dir runs/d4rl_r2/samples_fora2
 
+# 3d) best-of-N Stage-1 anchors at the headline config (the anchor-gap
+#     closer measured on maze in docs/RESULTS.md)
+run_step d4rl_sample_bestof16 5400 python -m \
+  interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/d4rl_r2/kp --interp_ckpt runs/d4rl_r2/il \
+  --dataset prepared --prepared_path runs/d4rl_r2/prep/eval_dp.npz \
+  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r2/dphi \
+  --stage1_best_of 16 --stage1_cache_interval 2 \
+  --s2_noise_mode level --s2_noise_sigma 0.003 \
+  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
+  --out_dir runs/d4rl_r2/samples_bestof16
+
 # 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (VERDICT item 4)
 run_step idxmix 43200 env BASE=runs/d4rl_r2 STEPS=20000 \
   bash scripts/pipelines/run_stage1_idxmix_ablation.sh
