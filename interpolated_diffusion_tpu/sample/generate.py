@@ -98,6 +98,10 @@ class PipelineConfig:
                                            # the lowest collision rate
                                            # against the occupancy grid
                                            # (beyond-reference search knob)
+        stage1_best_of_mode: str = "set",  # set: whole-trajectory argmin;
+                                           # dp: per-anchor chain DP that
+                                           # MIXES candidates (searches N^K
+                                           # combinations in O(K N^2))
         kp_feat_dim: int = 0,              # >0: rebuild kp_feat for the
                                            # Stage-1 model (meta use_kp_feat;
                                            # zeros otherwise would be
@@ -279,10 +283,13 @@ def make_pipeline(
                 hit = (occ[b, i, j] > 0.5) | oob
                 return hit.astype(jnp.float32).mean(axis=1)      # [B]
 
-            scores = jax.vmap(coll_score)(x_cands)               # [N, B]
-            best = jnp.argmin(scores, axis=0)                    # [B]
-            z_pred = jnp.take_along_axis(
-                z_cands, best[None, :, None, None], axis=0)[0]
+            if cfg.stage1_best_of_mode == "dp":
+                z_pred = _dp_mix_anchors(z_cands, idx, occ, T)
+            else:
+                scores = jax.vmap(coll_score)(x_cands)           # [N, B]
+                best = jnp.argmin(scores, axis=0)                # [B]
+                z_pred = jnp.take_along_axis(
+                    z_cands, best[None, :, None, None], axis=0)[0]
         else:
             z_pred = stage1(kp_params, k1, idx, kp_cond)
         x_interp = interpolate_from_indices(
@@ -298,6 +305,61 @@ def make_pipeline(
         return x_interp, s2, z_pred
 
     return pipeline
+
+
+def _dp_mix_anchors(z_cands: jnp.ndarray, idx: jnp.ndarray, occ: jnp.ndarray,
+                    T: int) -> jnp.ndarray:
+    """Chain-DP candidate mixing for best-of-N anchors.
+
+    z_cands [N, B, K, D], idx [B, K], occ [B, h, w] → z_mix [B, K, D].
+    Because interpolation is linear between consecutive anchors, each
+    segment's collision cost depends only on its two bounding anchor values —
+    so the best PER-ANCHOR candidate assignment over all N^K combinations is
+    a shortest path over a K-node chain with N states (O(K N²), K static).
+    Costs: node = the anchor frame's own occupancy hit; edge = hits of the
+    strictly-interior frames of the lerp between the chosen pair."""
+    from ..eval.metrics import _pos_to_cell
+
+    N, B, K, D = z_cands.shape
+    h, w = occ.shape[-2:]
+    b_ix = jnp.arange(B)
+
+    # node costs: [N, B, K] — each anchor's own cell
+    ni, nj, noob = _pos_to_cell(z_cands[..., :2], h, w)
+    node = ((occ[b_ix[None, :, None], ni, nj] > 0.5) | noob).astype(jnp.float32)
+
+    # edge costs: strict-interior frames of each segment's lerp, for all
+    # (left cand a, right cand c) pairs: [B, K-1, N, N]
+    gap = (idx[:, 1:] - idx[:, :-1]).astype(jnp.float32)        # [B, K-1]
+    offs = jnp.arange(T, dtype=jnp.float32)                     # [T]
+    alpha = offs[None, None, :] / jnp.maximum(gap[..., None], 1.0)
+    interior = (offs[None, None, :] > 0) & (offs[None, None, :]
+                                            < gap[..., None])   # [B, K-1, T]
+    pa = jnp.transpose(z_cands[..., :-1, :2], (1, 2, 0, 3))     # [B, K-1, N, 2]
+    pc = jnp.transpose(z_cands[..., 1:, :2], (1, 2, 0, 3))
+    # pts[b, s, a, c, t, 2]
+    pts = (pa[:, :, :, None, None, :] * (1.0 - alpha[:, :, None, None, :, None])
+           + pc[:, :, None, :, None, :] * alpha[:, :, None, None, :, None])
+    pi, pj, poob = _pos_to_cell(pts, h, w)
+    hit = (occ[b_ix[:, None, None, None, None], pi, pj] > 0.5) | poob
+    edge = (hit & interior[:, :, None, None, :]).sum(axis=-1).astype(jnp.float32)
+
+    # forward DP over the chain (K static → python loop stays traceable)
+    V = node[:, :, 0].T                                          # [B, N]
+    back = []
+    for s in range(K - 1):
+        tot = V[:, :, None] + edge[:, s]                         # [B, N_a, N_c]
+        back.append(jnp.argmin(tot, axis=1))                     # [B, N_c]
+        V = jnp.min(tot, axis=1) + node[:, :, s + 1].T
+    choice = [jnp.argmin(V, axis=1)]                             # last anchor
+    for s in range(K - 2, -1, -1):
+        choice.append(jnp.take_along_axis(
+            back[s], choice[-1][:, None], axis=1)[:, 0])
+    choice = jnp.stack(choice[::-1], axis=1)                     # [B, K]
+
+    z_bkd = jnp.transpose(z_cands, (1, 2, 0, 3))                 # [B, K, N, D]
+    return jnp.take_along_axis(
+        z_bkd, choice[:, :, None, None], axis=2)[:, :, 0]
 
 
 def hoist_cond_vec(model, params, cond):
@@ -415,6 +477,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="sample N Stage-1 anchor sets and keep the lowest-"
                         "collision interpolation per sample (oracle-free "
                         "occupancy scoring; beyond-reference quality knob)")
+    p.add_argument("--stage1_best_of_mode", type=str, default="set",
+                   choices=["set", "dp"],
+                   help="set: whole-trajectory argmin over the N candidates; "
+                        "dp: per-anchor chain DP that mixes candidates "
+                        "(searches N^K assignments in O(K N^2))")
     p.add_argument("--stage1_cache_interval", type=int, default=1,
                    help="FORA-style transformer caching in the Stage-1 DDIM "
                         "scan: full block-stack evaluation every Nth step, "
@@ -468,6 +535,7 @@ def main(argv=None):
         collect_steps=bool(args.save_steps),
         stage1_cache_interval=args.stage1_cache_interval,
         stage1_best_of=args.stage1_best_of,
+        stage1_best_of_mode=args.stage1_best_of_mode,
         kp_feat_dim=(int(kp_meta.get("kp_feat_dim", 0))
                      if kp_meta.get("use_kp_feat") else 0),
     )

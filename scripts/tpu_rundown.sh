@@ -64,7 +64,7 @@ run_step d4rl_sample_bestof16 5400 python -m \
   --kp_ckpt runs/d4rl_r2/kp --interp_ckpt runs/d4rl_r2/il \
   --dataset prepared --prepared_path runs/d4rl_r2/prep/eval_dp.npz \
   --kp_index_mode uniform --dphi_ckpt runs/d4rl_r2/dphi \
-  --stage1_best_of 16 --stage1_cache_interval 2 \
+  --stage1_best_of 16 --stage1_best_of_mode dp --stage1_cache_interval 2 \
   --s2_noise_mode level --s2_noise_sigma 0.003 \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
   --out_dir runs/d4rl_r2/samples_bestof16

@@ -214,3 +214,34 @@ def test_stage1_best_of_reduces_collision():
         m = compute_metrics_batch(occ, x_interp, cond["start_goal"][:, 2:])
         colls[n] = float(m["collision_rate"].mean())
     assert colls[4] <= colls[1] + 1e-6, colls
+
+
+def test_stage1_best_of_dp_dominates_set():
+    """The DP mixer's search space contains every whole-set assignment, and
+    its cost (anchor nodes + strict-interior edges) totals exactly the
+    lerp's per-frame hit count — so on the same candidates dp collision <=
+    set collision <= single-sample collision."""
+    from interpolated_diffusion_tpu.eval.metrics import compute_metrics_batch
+
+    kp, il, kp_params, il_params = _models_and_params(kp_feat_dim=0)
+    schedule = make_schedule("linear", 10)
+    B = 16
+    key = jax.random.PRNGKey(0)
+    occ = (jax.random.uniform(key, (B, 1, GRID, GRID)) < 0.3).astype(jnp.float32)
+    occ = occ.at[:, :, 0, 0].set(0.0).at[:, :, -1, -1].set(0.0)
+    cond = {"occ": occ,
+            "start_goal": jnp.concatenate(
+                [jnp.full((B, 2), 0.05), jnp.full((B, 2), 0.95)], axis=1)}
+    idx = jnp.broadcast_to(jnp.array([0, 9, 21, T - 1], jnp.int32), (B, K))
+
+    colls = {}
+    for mode, n in (("set", 1), ("set", 4), ("dp", 4)):
+        cfg = PipelineConfig(T=T, K=K, levels=LEVELS, K_min=K, ddim_steps=4,
+                             stage1_best_of=n, stage1_best_of_mode=mode)
+        pipe = make_pipeline(kp, il, schedule, cfg, D)
+        x_interp = pipe(kp_params, il_params, jax.random.PRNGKey(3), idx,
+                        cond)[0]
+        m = compute_metrics_batch(occ, x_interp, cond["start_goal"][:, 2:])
+        colls[(mode, n)] = float(m["collision_rate"].mean())
+    assert colls[("set", 4)] <= colls[("set", 1)] + 1e-6, colls
+    assert colls[("dp", 4)] <= colls[("set", 4)] + 1e-6, colls
