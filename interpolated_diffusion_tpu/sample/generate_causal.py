@@ -43,6 +43,7 @@ def make_causal_pipeline(
     clamp_endpoints: bool, clamp_policy: str, clamp_dims: str,
     recompute_vel: bool, mask_channels: int = 1, collect_chunks: bool = False,
     kp_feat_dim: int = 0, dphi_fn=None, stage1_cache_interval: int = 1,
+    stage1_best_of: int = 1, stage1_best_of_mode: str = "set",
 ):
     """Returns pipeline(kp_params, interp_params, key, cond) -> x_gen [B,T,D]
     (plus the per-chunk prefix states [n_chunks,B,T,D] with collect_chunks —
@@ -126,9 +127,38 @@ def make_causal_pipeline(
 
             cond_chunk = dict(cond)
             cond_chunk["start_goal"] = jnp.concatenate([left, right], axis=1)
-            z_hat = stage1_chunk(
-                kp_params, k_s1, idx_local, known_mask, known_values, cond_chunk, local_T
-            )
+            if stage1_best_of > 1:
+                # per-chunk best-of-N anchors (sample/generate.py semantics;
+                # DP mode mixes candidates per anchor via _dp_mix_anchors)
+                from .generate import _dp_mix_anchors
+                from ..eval.metrics import _pos_to_cell
+
+                keys = jax.random.split(k_s1, stage1_best_of)
+                z_cands = jax.vmap(lambda k: stage1_chunk(
+                    kp_params, k, idx_local, known_mask, known_values,
+                    cond_chunk, local_T))(keys)
+                occ2 = cond["occ"][:, 0] if cond["occ"].ndim == 4 else cond["occ"]
+                if stage1_best_of_mode == "dp":
+                    z_hat = _dp_mix_anchors(z_cands, idx_local, occ2, local_T)
+                else:
+                    hh, ww = occ2.shape[-2:]
+
+                    def chunk_coll(z):
+                        x = interpolate_from_indices(idx_local, z, local_T)
+                        i, j, oob = _pos_to_cell(x[..., :2], hh, ww)
+                        bb = jnp.arange(x.shape[0])[:, None]
+                        return (((occ2[bb, i, j] > 0.5) | oob)
+                                .astype(jnp.float32).mean(axis=1))
+
+                    scores = jax.vmap(chunk_coll)(z_cands)
+                    best = jnp.argmin(scores, axis=0)
+                    z_hat = jnp.take_along_axis(
+                        z_cands, best[None, :, None, None], axis=0)[0]
+            else:
+                z_hat = stage1_chunk(
+                    kp_params, k_s1, idx_local, known_mask, known_values,
+                    cond_chunk, local_T
+                )
             x_s = interpolate_from_indices(idx_local, z_hat, local_T,
                                            recompute_velocity=recompute_vel)
 
@@ -235,6 +265,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--stage1_cache_interval", type=int, default=1,
                    help="FORA-style transformer caching in each chunk's "
                         "DDIM scan (1 = exact)")
+    p.add_argument("--stage1_best_of", type=int, default=1,
+                   help="per-chunk best-of-N anchor search (collision-"
+                        "scored; see sample/generate.py)")
+    p.add_argument("--stage1_best_of_mode", type=str, default="set",
+                   choices=["set", "dp"])
     p.add_argument("--ddim_steps", type=int, default=10)
     p.add_argument("--num_batches", type=int, default=2)
     p.add_argument("--batch", type=int, default=32)
@@ -284,6 +319,8 @@ def main(argv=None):
                      if kp_meta.get("use_kp_feat") else 0),
         dphi_fn=dphi_fn,
         stage1_cache_interval=args.stage1_cache_interval,
+        stage1_best_of=args.stage1_best_of,
+        stage1_best_of_mode=args.stage1_best_of_mode,
     ))
 
     args.T = T

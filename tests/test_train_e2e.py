@@ -154,3 +154,18 @@ def test_train_interp_levels_mask_policy_mix(tmp_run):
 
     meta = json.load(open(os.path.join(out, "ckpt_3", "meta.json")))
     assert meta["meta"]["mask_policy_mix"] == "uniform:0.6,random:0.4"
+
+
+def test_generate_causal_best_of_dp(tmp_run):
+    from interpolated_diffusion_tpu.sample.generate_causal import main
+
+    summary = main([
+        "--kp_ckpt", str(tmp_run / "kp" / "ckpt_6"),
+        "--interp_ckpt", str(tmp_run / "il_causal" / "ckpt_2"),
+        "--chunk", "8", "--K_min", "3", "--ddim_steps", "4",
+        "--stage1_best_of", "4", "--stage1_best_of_mode", "dp",
+        "--num_batches", "1", "--batch", "4", "--num_samples", "64",
+        "--maze_h", "9", "--maze_w", "9", "--bf16", "0",
+        "--out_dir", str(tmp_run / "gen_causal_dp"),
+    ])
+    assert np.isfinite(summary["collision_rate"])
