@@ -273,20 +273,11 @@ def make_pipeline(
             x_cands = jax.vmap(lambda z: interpolate_from_indices(
                 idx, z, T, recompute_velocity=cfg.recompute_vel))(z_cands)
             occ = cond["occ"][:, 0] if cond["occ"].ndim == 4 else cond["occ"]
-            h, w = occ.shape[-2:]
-
-            def coll_score(x):
-                from ..eval.metrics import _pos_to_cell
-
-                i, j, oob = _pos_to_cell(x[..., :2], h, w)
-                b = jnp.arange(x.shape[0])[:, None]
-                hit = (occ[b, i, j] > 0.5) | oob
-                return hit.astype(jnp.float32).mean(axis=1)      # [B]
-
             if cfg.stage1_best_of_mode == "dp":
                 z_pred = _dp_mix_anchors(z_cands, idx, occ, T)
             else:
-                scores = jax.vmap(coll_score)(x_cands)           # [N, B]
+                scores = jax.vmap(
+                    lambda x: _collision_score(x, occ))(x_cands)  # [N, B]
                 best = jnp.argmin(scores, axis=0)                # [B]
                 z_pred = jnp.take_along_axis(
                     z_cands, best[None, :, None, None], axis=0)[0]
@@ -305,6 +296,18 @@ def make_pipeline(
         return x_interp, s2, z_pred
 
     return pipeline
+
+
+def _collision_score(x: jnp.ndarray, occ: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample occupancy-hit rate of a trajectory: [B, T, >=2], [B, h, w]
+    → [B]. The scoring used by the best-of-N anchor search in both samplers
+    (same cell/OOB semantics as eval.metrics.compute_metrics_batch)."""
+    from ..eval.metrics import _pos_to_cell
+
+    h, w = occ.shape[-2:]
+    i, j, oob = _pos_to_cell(x[..., :2], h, w)
+    b = jnp.arange(x.shape[0])[:, None]
+    return (((occ[b, i, j] > 0.5) | oob).astype(jnp.float32)).mean(axis=1)
 
 
 def _dp_mix_anchors(z_cands: jnp.ndarray, idx: jnp.ndarray, occ: jnp.ndarray,

@@ -130,8 +130,7 @@ def make_causal_pipeline(
             if stage1_best_of > 1:
                 # per-chunk best-of-N anchors (sample/generate.py semantics;
                 # DP mode mixes candidates per anchor via _dp_mix_anchors)
-                from .generate import _dp_mix_anchors
-                from ..eval.metrics import _pos_to_cell
+                from .generate import _collision_score, _dp_mix_anchors
 
                 keys = jax.random.split(k_s1, stage1_best_of)
                 z_cands = jax.vmap(lambda k: stage1_chunk(
@@ -141,16 +140,9 @@ def make_causal_pipeline(
                 if stage1_best_of_mode == "dp":
                     z_hat = _dp_mix_anchors(z_cands, idx_local, occ2, local_T)
                 else:
-                    hh, ww = occ2.shape[-2:]
-
-                    def chunk_coll(z):
-                        x = interpolate_from_indices(idx_local, z, local_T)
-                        i, j, oob = _pos_to_cell(x[..., :2], hh, ww)
-                        bb = jnp.arange(x.shape[0])[:, None]
-                        return (((occ2[bb, i, j] > 0.5) | oob)
-                                .astype(jnp.float32).mean(axis=1))
-
-                    scores = jax.vmap(chunk_coll)(z_cands)
+                    scores = jax.vmap(lambda z: _collision_score(
+                        interpolate_from_indices(idx_local, z, local_T),
+                        occ2))(z_cands)
                     best = jnp.argmin(scores, axis=0)
                     z_hat = jnp.take_along_axis(
                         z_cands, best[None, :, None, None], axis=0)[0]

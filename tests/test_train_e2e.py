@@ -156,16 +156,17 @@ def test_train_interp_levels_mask_policy_mix(tmp_run):
     assert meta["meta"]["mask_policy_mix"] == "uniform:0.6,random:0.4"
 
 
-def test_generate_causal_best_of_dp(tmp_run):
+@pytest.mark.parametrize("mode", ["dp", "set"])
+def test_generate_causal_best_of(tmp_run, mode):
     from interpolated_diffusion_tpu.sample.generate_causal import main
 
     summary = main([
         "--kp_ckpt", str(tmp_run / "kp" / "ckpt_6"),
         "--interp_ckpt", str(tmp_run / "il_causal" / "ckpt_2"),
         "--chunk", "8", "--K_min", "3", "--ddim_steps", "4",
-        "--stage1_best_of", "4", "--stage1_best_of_mode", "dp",
+        "--stage1_best_of", "4", "--stage1_best_of_mode", mode,
         "--num_batches", "1", "--batch", "4", "--num_samples", "64",
         "--maze_h", "9", "--maze_w", "9", "--bf16", "0",
-        "--out_dir", str(tmp_run / "gen_causal_dp"),
+        "--out_dir", str(tmp_run / f"gen_causal_{mode}"),
     ])
     assert np.isfinite(summary["collision_rate"])
