@@ -138,11 +138,26 @@ def window_episodes(
     turn_angle_deg: float = 30.0,
     max_resample_tries: int = 50,
 ) -> Dict[str, np.ndarray]:
-    """Windowed, normalized, rejection-sampled trajectories → prepared arrays."""
+    """Windowed, normalized, rejection-sampled trajectories → prepared arrays.
+
+    Velocity channels use the OBSERVATION velocities (obs[:, 2:4] — maze2d
+    observations are [x, y, vx, vy]) scaled by the same position bounds,
+    matching the reference's normalization (dataset.py:537-545). This keeps
+    the four channels at comparable O(1) magnitudes — finite-diff divided by
+    dt = 1/T blows velocities up ~T× over positions, which dominates the
+    eps-MSE and destabilizes Stage-1 DDIM in the velocity channels (the
+    round-2 D4RL divergence). Observations without velocity columns fall
+    back to per-step finite differences (no 1/dt)."""
     episodes = split_episodes(terminals, timeouts)
     if not episodes:
         raise ValueError("no episodes found")
-    pos_all, _, _ = normalize_positions(observations[:, :2], occ, flip_y)
+    pos_all, _, pos_scale = normalize_positions(observations[:, :2], occ, flip_y)
+    vel_all = None
+    if with_velocity and observations.shape[1] >= 4:
+        vel_all = (observations[:, 2:4] / pos_scale).astype(np.float32)
+        if flip_y:
+            vel_all = vel_all.copy()
+            vel_all[:, 1] = -vel_all[:, 1]
     D = 4 if with_velocity else 2
     x_out = np.zeros((num_samples, T, D), dtype=np.float32)
     sg_out = np.zeros((num_samples, 4), dtype=np.float32)
@@ -179,9 +194,11 @@ def window_episodes(
         if traj is None:
             continue
         if with_velocity:
-            dt = 1.0 / T
-            v = np.zeros_like(traj)
-            v[:-1] = (traj[1:] - traj[:-1]) / dt
+            if vel_all is not None:
+                v = vel_all[idx]
+            else:
+                v = np.zeros_like(traj)
+                v[:-1] = traj[1:] - traj[:-1]   # per-step delta, no 1/dt
             x_out[kept] = np.concatenate([traj, v], axis=-1)
         else:
             x_out[kept] = traj

@@ -26,10 +26,12 @@ run_step bench 2400 python bench.py
 run_step kernels 2400 python scripts/verify_kernel_tpu.py
 
 # 3) D4RL T=128 unified at the reference's winning recipe, on the fixed
-#    kp_feat path (VERDICT item 3). Fresh OUT; prep is copied from the
-#    already-built round-2 prep (CPU-heavy, unaffected by the bug).
+#    kp_feat path AND the fixed velocity scaling (VERDICT item 3). Fresh
+#    OUT; only the raw episode synthesis (ep_*.npz, the slow CPU stage) is
+#    reused — windows/unified/DP REBUILD because the velocity channels
+#    changed (env-vel/pos_scale instead of the /dt finite-diff blowup).
 if [ ! -d runs/d4rl_r2/prep ]; then
-  mkdir -p runs/d4rl_r2 && cp -r runs/d4rl_unified/prep runs/d4rl_r2/prep
+  mkdir -p runs/d4rl_r2/prep && cp runs/d4rl_unified/prep/ep_*.npz runs/d4rl_r2/prep/
 fi
 run_step d4rl_unified 28800 env OUT=runs/d4rl_r2 S2_STEPS=10000 \
   bash scripts/pipelines/run_d4rl_unified.sh

@@ -52,3 +52,32 @@ def test_rejection_sampling_filters():
     with pytest.raises(ValueError):
         window_episodes(obs, terminals, occ, T=16, num_samples=4,
                         min_path_len=1.0, max_resample_tries=5)
+
+
+def test_window_episodes_velocity_scaling():
+    """Velocity channels come from the observation velocities scaled by the
+    position bounds (reference dataset.py:537-545) — O(1) like positions,
+    NOT finite-diff divided by dt (which blows up ~T x and destabilized the
+    round-2 D4RL Stage-1)."""
+    import numpy as np
+
+    from interpolated_diffusion_tpu.data.d4rl import window_episodes
+
+    occ = np.zeros((9, 9), np.float32)
+    n, T = 300, 16
+    t = np.linspace(0, 4 * np.pi, n)
+    pos = np.stack([4 + 3 * np.cos(t), 4 + 3 * np.sin(t)], axis=1)
+    vel = np.stack([-3 * np.sin(t), 3 * np.cos(t)], axis=1)  # env units
+    obs = np.concatenate([pos, vel], axis=1).astype(np.float32)
+    data = window_episodes(obs, np.zeros(n, bool), occ, T, 4,
+                           window_mode="random", with_velocity=True)
+    x = data["x"]
+    assert x.shape[-1] == 4
+    # env vel (max 3) / pos_scale (8) = 0.375 — same order as positions
+    assert np.abs(x[..., 2:]).max() <= 0.5
+    np.testing.assert_allclose(np.abs(x[..., 2:]).max(), 3.0 / 8.0, atol=0.05)
+
+    # fallback without velocity columns: per-step deltas, no 1/dt blowup
+    data2 = window_episodes(obs[:, :2], np.zeros(n, bool), occ, T, 4,
+                            window_mode="random", with_velocity=True)
+    assert np.abs(data2["x"][..., 2:]).max() < 0.2
