@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -36,7 +38,39 @@ DATA_DIM = 2
 ITERS = 20
 
 
+def _ensure_healthy_backend() -> str:
+    """Bounded probe of the ambient backend; CPU fallback if unreachable.
+
+    The axon TPU claim can wedge for hours after a crashed session, and
+    `jax.devices()` then hangs forever — which would hang the driver's
+    round-end bench run. Probe device enumeration in a SUBPROCESS with a
+    timeout (same pattern as __graft_entry__.dryrun_multichip); on failure,
+    pin this process to the CPU backend and say so in the output JSON
+    instead of hanging."""
+    if os.environ.get("BENCH_FORCE_CPU") or jax.config.jax_platforms == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=180,
+        )
+        if proc.returncode == 0:
+            return proc.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu (ambient backend unreachable — wedged TPU claim?)"
+
+
 def main():
+    backend = _ensure_healthy_backend()
+    on_tpu = backend.startswith("tpu") or backend.startswith("axon")
+    global B, ITERS
+    if not on_tpu:
+        # honest-but-bounded CPU fallback: same pipeline, small batch
+        B, ITERS = 32, 2
     kp_model = KeypointDenoiser(
         d_model=D_MODEL, n_layers=N_LAYERS, n_heads=N_HEADS, d_ff=D_FF,
         d_cond=D_COND, data_dim=DATA_DIM, maze_channels=MAZE_CH,
@@ -121,14 +155,17 @@ def main():
     v5e_peak = 197e12
     mfu_est = sps * flops_per_sample / v5e_peak
 
-    print(json.dumps({
+    rec = {
         "metric": "e2e samples/sec (T=64,K=8,DDIM-20,stage2 levels=3)",
         "value": round(sps, 2),
         "unit": "samples/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "mfu_est": round(mfu_est, 4),
         "flops_per_sample": flops_per_sample,
-    }))
+        "backend": backend,
+    }
+    if on_tpu:
+        rec["mfu_est"] = round(mfu_est, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

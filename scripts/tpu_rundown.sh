@@ -71,8 +71,17 @@ run_step d4rl_sample_bestof16 5400 python -m \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
   --out_dir runs/d4rl_r2/samples_bestof16
 
-# 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (VERDICT item 4)
-run_step idxmix 43200 env BASE=runs/d4rl_r2 STEPS=20000 \
-  bash scripts/pipelines/run_stage1_idxmix_ablation.sh
+# 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (VERDICT item 4).
+#    One step per mix so partial progress survives a session cut — each mix's
+#    train+sample lands its own summary.json and marker. Priority order: the
+#    pure policies localize the anchor-error source; the mixes then test the
+#    reference's winning blends.
+for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
+           "selector:0.7,uniform:0.2,random:0.1" \
+           "dp:0.7,uniform:0.2,random:0.1"; do
+  tag=$(echo "$MIX" | tr ':,.' '___')
+  run_step "idxmix_${tag}" 9000 env BASE=runs/d4rl_r2 STEPS=20000 \
+    MIXES="$MIX" bash scripts/pipelines/run_stage1_idxmix_ablation.sh
+done
 
 echo "rundown complete $(date)"
