@@ -1,0 +1,96 @@
+"""Batch-size sweep for the e2e bench pipeline (run on the real TPU).
+
+Same one-jit pipeline as bench.py (T=64, K=8, DDIM-20, stage-2 levels=3);
+sweeps the batch to find the throughput-optimal configuration. Prints one
+JSON line per batch and a final "best" line. If a batch other than
+bench.py's default wins by a margin, promote it there.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import bench as _bench
+from interpolated_diffusion_tpu.models.denoisers import (
+    InterpLevelDenoiser, KeypointDenoiser,
+)
+from interpolated_diffusion_tpu.ops.schedules import make_schedule
+from interpolated_diffusion_tpu.sample.generate import PipelineConfig, make_pipeline
+
+BATCHES = (128, 256, 512, 1024)
+ITERS = 10
+
+
+def run_one(B: int) -> float:
+    T, K = _bench.T, _bench.K
+    kp_model = KeypointDenoiser(
+        d_model=_bench.D_MODEL, n_layers=_bench.N_LAYERS, n_heads=_bench.N_HEADS,
+        d_ff=_bench.D_FF, d_cond=_bench.D_COND, data_dim=_bench.DATA_DIM,
+        maze_channels=_bench.MAZE_CH, dtype=jnp.bfloat16,
+    )
+    interp_model = InterpLevelDenoiser(
+        d_model=_bench.D_MODEL, n_layers=_bench.N_LAYERS, n_heads=_bench.N_HEADS,
+        d_ff=_bench.D_FF, d_cond=_bench.D_COND, data_dim=_bench.DATA_DIM,
+        maze_channels=_bench.MAZE_CH, mask_channels=2, dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    idx = jnp.sort(jnp.stack([
+        jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jax.random.choice(jax.random.fold_in(k3, b), jnp.arange(1, T - 1),
+                              (K - 2,), replace=False).astype(jnp.int32),
+            jnp.full((1,), T - 1, jnp.int32),
+        ]) for b in range(B)
+    ]), axis=1)
+    cond = {
+        "occ": jax.random.bernoulli(
+            k1, 0.2, (B, 1, _bench.GRID, _bench.GRID)).astype(jnp.float32),
+        "start_goal": jax.random.uniform(k2, (B, 4)),
+    }
+    kp_params = kp_model.init(
+        k1, jnp.zeros((1, K, _bench.DATA_DIM)), jnp.zeros((1,), jnp.int32),
+        idx[:1], jnp.zeros((1, K, _bench.DATA_DIM), bool),
+        {"occ": cond["occ"][:1], "start_goal": cond["start_goal"][:1]}, T,
+    )["params"]
+    interp_params = interp_model.init(
+        k2, jnp.zeros((1, T, _bench.DATA_DIM)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, T, 2)),
+        {"occ": cond["occ"][:1], "start_goal": cond["start_goal"][:1]},
+    )["params"]
+    schedule = make_schedule("linear", _bench.N_TRAIN)
+    cfg = PipelineConfig(
+        T=T, K=K, levels=_bench.LEVELS, K_min=_bench.K_MIN,
+        ddim_steps=_bench.DDIM_STEPS, stage2_mode="adj",
+        clamp_policy="endpoints", pos_clip=True,
+    )
+    pipeline = jax.jit(make_pipeline(kp_model, interp_model, schedule, cfg,
+                                     _bench.DATA_DIM))
+    out = pipeline(kp_params, interp_params, jax.random.PRNGKey(1), idx, cond)
+    float(out[1].sum())  # scalar pull = completion barrier through the tunnel
+    t0 = time.time()
+    for i in range(ITERS):
+        out = pipeline(kp_params, interp_params, jax.random.PRNGKey(2 + i),
+                       idx, cond)
+    float(out[1].sum())
+    return B * ITERS / (time.time() - t0)
+
+
+def main():
+    results = {}
+    for B in BATCHES:
+        sps = run_one(B)
+        results[B] = sps
+        print(json.dumps({"batch": B, "samples_per_sec": round(sps, 2)}),
+              flush=True)
+    best = max(results, key=results.get)
+    print(json.dumps({"best_batch": best,
+                      "samples_per_sec": round(results[best], 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,9 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
 # 1) bench regression gate (the driver's metric)
 run_step bench 2400 python bench.py
 
+# 1b) batch sweep around the bench config (is B=256 still optimal?)
+run_step bench_sweep 2400 python scripts/bench_sweep.py
+
 # 2) real-TPU kernel oracle pass
 run_step kernels 2400 python scripts/verify_kernel_tpu.py
 
