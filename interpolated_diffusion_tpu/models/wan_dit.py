@@ -19,7 +19,7 @@ a follow-up — from-scratch training uses the same module.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -434,6 +434,11 @@ class WanDiT(nn.Module):
     remat_group: int = 1
     layer_mode: str = "loop"      # loop (unrolled, block_{i} params) |
                                   # scan (lax.scan over stacked blocks/block)
+    # apply-time replacement for the whole block stack, (x, ctx, t_mod, rope)
+    # -> x. Used by models/wan_pp.py to run the stack pipeline-parallel over
+    # a `pipe` mesh axis with externally-held stacked params; init() must use
+    # a plain scan-mode model (the override creates no params).
+    blocks_override: Optional[Callable] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -500,6 +505,8 @@ class WanDiT(nn.Module):
         x_embed = x
         if blocks_delta is not None:
             x = x_embed + blocks_delta.astype(x.dtype)
+        elif self.blocks_override is not None:
+            x = self.blocks_override(x, ctx, t_mod, rope)
         elif self.layer_mode == "scan":
             body = _WanBlockScanBody
             if self.use_remat:
