@@ -7,8 +7,10 @@ between anchor latents, written as `{key}.teacher_latents` shards that
 (data/wan_synth.py) for flow-interpolator distillation.
 
 Teachers: `lerp` (built-in, runs everywhere — the distillation-pipeline
-smoke baseline) or `ldmvfi` (external repo, unavailable in this env; the
-reference's own LDMVFI distillation was a negative result,
+smoke baseline), `model:<ckpt>` (a trained in-repo flow/sinkhorn
+interpolator checkpoint as the teacher — the LDMVFI slot filled without
+the external repo), or `ldmvfi` (external repo, unavailable in this env;
+the reference's own LDMVFI distillation was a negative result,
 PROJECT_LOG.md:845-857). For synthetic data (--data synthetic) the shards
 are generated from the same procedural latents the trainers use.
 """
@@ -17,17 +19,20 @@ from __future__ import annotations
 import argparse
 import os
 
-from ..teachers.teacher import LerpTeacher, precompute_teacher_shards
+from ..teachers.teacher import LerpTeacher, ModelTeacher, precompute_teacher_shards
 
 
 def _make_teacher(name: str):
     if name == "lerp":
         return LerpTeacher()
+    if name.startswith("model:"):
+        return ModelTeacher(name.split(":", 1)[1])
     if name == "ldmvfi":
         raise SystemExit(
             "ldmvfi teacher needs the external LDMVFI repo + GPU stack "
             "(reference src/teachers/ldmvfi_teacher.py); unavailable here — "
-            "use --teacher lerp or precompute on a machine that has it"
+            "use --teacher lerp, --teacher model:<interpolator ckpt>, or "
+            "precompute on a machine that has it"
         )
     raise ValueError(f"unknown teacher {name}")
 
@@ -39,7 +44,7 @@ def main(argv=None):
     p.add_argument("--out_root", type=str, required=True)
     p.add_argument("--T", type=int, default=21)
     p.add_argument("--teacher", type=str, default="lerp",
-                   choices=["lerp", "ldmvfi"])
+                   help="lerp | model:<interpolator ckpt> | ldmvfi")
     p.add_argument("--shard_size", type=int, default=64)
     args = p.parse_args(argv)
     os.makedirs(args.out_root, exist_ok=True)

@@ -26,6 +26,116 @@ class LerpTeacher:
         return (1.0 - alpha) * z0 + alpha * z1
 
 
+class ModelTeacher:
+    """A trained in-repo interpolator checkpoint as the distillation teacher.
+
+    Fills the reference's external-LDMVFI slot (src/teachers/
+    ldmvfi_teacher.py:48-127) without the external GPU repo: a
+    flow_interpolator or sinkhorn_interp checkpoint (meta["stage"] selects
+    the architecture) produces the mid-frame targets — self-distillation
+    into smaller students, or cross-distillation between interpolator
+    families. Same `interpolate(z0, z1, alpha)` surface as LerpTeacher, so
+    precompute_teacher_shards takes it unchanged."""
+
+    def __init__(self, ckpt: str, alpha_steps: int = 2):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.loading import resolve_ckpt
+        from ..utils.checkpoint import load_checkpoint, read_meta
+
+        path = resolve_ckpt(ckpt)
+        _, meta = read_meta(path)
+        stage = meta.get("stage")
+        C = int(meta["in_channels"])
+        self.in_channels = C
+        self._alpha_steps = int(alpha_steps)
+        key = jax.random.PRNGKey(0)
+        if stage == "flow_interpolator":
+            from ..models.flow_interpolator import LatentFlowInterpolator
+
+            model = LatentFlowInterpolator(
+                in_channels=C, base_channels=int(meta["base_channels"]),
+                max_flow=float(meta["max_flow"]),
+                residual_blocks=int(meta["residual_blocks"]),
+                time_mask=bool(meta["time_mask"]), gap_cond=bool(meta["gap_cond"]),
+                use_cost_volume=bool(meta["cost_volume"]),
+                cv_radius=int(meta["cv_radius"]),
+            )
+            lat0 = jnp.zeros((1, 3, C, 8, 8))
+            idx0 = jnp.asarray([[0, 2]], jnp.int32)
+            tmpl = model.init(key, lat0, idx0)["params"]
+            _, payload = load_checkpoint(path, tmpl)
+            params = payload["params"]
+            gap_cond = bool(meta["gap_cond"])
+
+            @jax.jit
+            def pair_fn(z0, z1, alpha, gap):
+                z, _ = model.apply(
+                    {"params": params}, z0, z1, alpha,
+                    gap=gap if gap_cond else None,
+                    method=LatentFlowInterpolator.interpolate_pair,
+                )
+                return z
+
+            self._pair_fn = pair_fn
+        elif stage == "sinkhorn_interp":
+            from ..models.sinkhorn_warp import SinkhornWarpInterpolator
+
+            model = SinkhornWarpInterpolator(
+                in_channels=C, patch_size=int(meta["patch_size"]),
+                win_size=int(meta["win_size"]),
+                global_mode=meta["global_mode"],
+                sinkhorn_iters=int(meta["sinkhorn_iters"]),
+                learn_tau=bool(meta["learn_tau"]),
+                learn_dustbin=bool(meta["learn_dustbin"]),
+                fb_sigma=float(meta["fb_sigma"]), d_match=int(meta["d_match"]),
+            )
+            n = self._alpha_steps
+            lat0 = jnp.zeros((1, n + 1, C, 8, 8))
+            idx0 = jnp.asarray([[0, n]], jnp.int32)
+            tmpl = model.init(key, lat0, idx0)["params"]
+            _, payload = load_checkpoint(path, tmpl)
+            params = payload["params"]
+
+            # pairwise via the segment interpolator on a (n+1)-frame grid:
+            # anchors at 0 and n, the frame at round(alpha·n) is the output
+            @jax.jit
+            def pair_fn(z0, z1, alpha, gap):
+                del gap
+                B = z0.shape[0]
+                lat = jnp.zeros((B, n + 1, *z0.shape[1:]), z0.dtype)
+                lat = lat.at[:, 0].set(z0).at[:, n].set(z1)
+                idx = jnp.broadcast_to(jnp.asarray([0, n], jnp.int32), (B, 2))
+                out, _ = model.apply({"params": params}, lat, idx)
+                k = jnp.clip(jnp.round(alpha[0] * n).astype(jnp.int32), 0, n)
+                return jax.lax.dynamic_index_in_dim(out, k, axis=1,
+                                                    keepdims=False)
+
+            self._pair_fn = pair_fn
+        else:
+            raise ValueError(
+                f"checkpoint stage {stage!r} is not an interpolator "
+                "(expected flow_interpolator or sinkhorn_interp)")
+
+    def interpolate(self, z0: np.ndarray, z1: np.ndarray,
+                    alpha: float = 0.5, gap: float = 2.0) -> np.ndarray:
+        """[C,H,W] or [B,C,H,W] endpoint latents → mid-frame at alpha."""
+        import jax.numpy as jnp
+
+        z0a, z1a = np.asarray(z0, np.float32), np.asarray(z1, np.float32)
+        squeeze = z0a.ndim == 3
+        if squeeze:
+            z0a, z1a = z0a[None], z1a[None]
+        B = z0a.shape[0]
+        out = self._pair_fn(
+            jnp.asarray(z0a), jnp.asarray(z1a),
+            jnp.full((B,), alpha, jnp.float32), jnp.full((B,), gap, jnp.float32),
+        )
+        out = np.asarray(out)
+        return out[0] if squeeze else out
+
+
 class PrecomputedTeacher:
     """Streams teacher mid-frame latents from tar shards keyed to the data."""
 
