@@ -50,6 +50,7 @@ def make_pp_blocks_override(
     mesh: Mesh,
     n_microbatches: int,
     pipe_axis: str = "pipe",
+    mode: str = "manual",
 ):
     """(x, ctx, t_mod, rope) -> x running the stacked WanBlocks pipelined.
 
@@ -69,6 +70,7 @@ def make_pp_blocks_override(
         return pipeline_blocks(
             stage_fn, stacked_block_params, x, (ctx, t_mod, rope),
             mesh=mesh, n_microbatches=n_microbatches, pipe_axis=pipe_axis,
+            mode=mode,
         )
 
     return override
@@ -84,6 +86,7 @@ def wan_pp_apply(
     mesh: Mesh,
     n_microbatches: int,
     pipe_axis: str = "pipe",
+    mode: str = "manual",
     frame_indices: Optional[jnp.ndarray] = None,
     extra_context: Optional[jnp.ndarray] = None,
 ):
@@ -91,13 +94,16 @@ def wan_pp_apply(
 
     Numerics match `model.apply(params, ...)` exactly (same layer order);
     only the schedule changes. Differentiable — take grads of a loss wrapped
-    around this call and the block grads arrive via the pipeline transpose."""
+    around this call and the block grads arrive via the pipeline transpose.
+    mode="partial" enables the 3D composition: put the stacked block params
+    on pp_tp_param_sharding(...) and GSPMD runs Megatron TP inside each
+    pipeline stage."""
     if model.layer_mode != "scan":
         raise ValueError("wan_pp_apply needs the stacked scan param layout "
                          f"(layer_mode='scan'), got {model.layer_mode!r}")
     block_params = params["params"][BLOCKS_KEY]
     pp_model = model.clone(blocks_override=make_pp_blocks_override(
-        model, block_params, mesh, n_microbatches, pipe_axis))
+        model, block_params, mesh, n_microbatches, pipe_axis, mode))
     return pp_model.apply(
         params, latents, t, context,
         frame_indices=frame_indices, extra_context=extra_context,

@@ -32,14 +32,24 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8 (check_vma supersedes check_rep)
+try:  # jax >= 0.8 (check_vma supersedes check_rep; axis_names = manual set)
     from jax import shard_map as _shard_map
 
-    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True,
+                  manual_axes=None):
+        kw = {"axis_names": set(manual_axes)} if manual_axes else {}
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
-                          out_specs=out_specs, check_vma=check_rep)
+                          out_specs=out_specs, check_vma=check_rep, **kw)
 except ImportError:  # pragma: no cover — older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True,
+                  manual_axes=None):
+        kw = {}
+        if manual_axes:
+            kw["auto"] = frozenset(mesh.axis_names) - set(manual_axes)
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=check_rep, **kw)
 
 # block_fn(stage_params, x, ctx) -> x_out
 #   stage_params: the stage's [n_layers/S, ...] slice of the stacked params
@@ -72,6 +82,7 @@ def pipeline_blocks(
     n_microbatches: int,
     pipe_axis: str = "pipe",
     data_axis: Optional[str] = "data",
+    mode: str = "manual",
 ) -> jnp.ndarray:
     """Apply a stacked-layer block over `x` pipelined across the pipe axis.
 
@@ -83,12 +94,26 @@ def pipeline_blocks(
     ctx: optional pytree broadcast to every stage; leaves with a leading
         batch dim are microbatched alongside x, scalars/tables replicated.
 
+    mode:
+      "manual"  — the whole mesh is manual: batch explicitly sharded over
+                  `data_axis`, every other non-pipe axis replicated.
+      "partial" — ONLY `pipe_axis` is manual; all other mesh axes stay under
+                  GSPMD. This is the 3D-parallel composition path: batch
+                  sharding over `data` and Megatron TP over `model`
+                  (parallel/tp.py) propagate from the outer jit straight
+                  through the pipeline body, so DP x PP x TP needs no manual
+                  collectives beyond the pipeline's own ppermute.
+
     Returns block-stack output [B, ...], numerically identical to the
     sequential `lax.scan` application of all layers (same layer order).
     """
     S = mesh.shape[pipe_axis]
     M = n_microbatches
-    have_data = data_axis is not None and data_axis in mesh.axis_names
+    if mode not in ("manual", "partial"):
+        raise ValueError(f"unknown pipeline mode {mode!r}")
+    partial_mode = mode == "partial"
+    have_data = (not partial_mode and data_axis is not None
+                 and data_axis in mesh.axis_names)
     d_ax = data_axis if have_data else None
 
     def param_spec(leaf):
@@ -125,6 +150,7 @@ def pipeline_blocks(
         shard_map, mesh=mesh,
         in_specs=(params_specs, x_spec, ctx_specs),
         out_specs=x_spec, check_rep=False,
+        manual_axes={pipe_axis} if partial_mode else None,
     )
     def run(local_params, x_local, ctx_local):
         stage = lax.axis_index(pipe_axis)
@@ -165,6 +191,27 @@ def pipeline_blocks(
         return outs.reshape(B_local, *x_local.shape[1:])
 
     return run(stacked_params, x, ctx)
+
+
+def pp_tp_param_sharding(stacked_params: Any, mesh: Mesh,
+                         pipe_axis: str = "pipe") -> Any:
+    """Storage shardings for 3D parallelism (DP x PP x TP): each leaf's
+    leading layer axis on `pipe`, Megatron column/row TP rules
+    (parallel/tp.py) on the feature dims. Combine with
+    pipeline_blocks(mode="partial") — the pipe axis is manual, and GSPMD
+    propagates the model-axis splits through the stage bodies."""
+    from jax.sharding import NamedSharding
+
+    from .tp import tp_param_sharding
+
+    tp_specs = tp_param_sharding(stacked_params, mesh)
+
+    def combine(leaf, ns):
+        spec = list(ns.spec) + [None] * (leaf.ndim - len(ns.spec))
+        spec[0] = pipe_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(combine, stacked_params, tp_specs)
 
 
 def pp_layer_sharding(stacked_params: Any, mesh: Mesh,

@@ -113,3 +113,78 @@ def test_pp_layer_sharding_places_stages():
     ref = _sequential(params, jax.random.normal(jax.random.PRNGKey(9), (8, 6, DIM)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pp_partial_mode_matches_sequential():
+    """mode="partial": only `pipe` is manual — the data axis stays under
+    GSPMD, so batch sharding propagates from the argument placement."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh(2, 4)
+    params = _params(jax.random.PRNGKey(10))
+    x = jax.random.normal(jax.random.PRNGKey(11), (8, 6, DIM))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ps = jax.device_put(
+        params, jax.tree_util.tree_map(
+            lambda l: NamedSharding(mesh, P("pipe")), params))
+
+    out = jax.jit(lambda p, x: pipeline_blocks(
+        scan_blocks(_block), p, x, mesh=mesh, n_microbatches=2,
+        mode="partial"))(ps, xs)
+    ref = _sequential(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pp_3d_dp_pp_tp():
+    """Full 3D composition on a (data=2, pipe=2, model=2) mesh: pipeline
+    stages manual over `pipe`, Megatron TP column/row splits riding GSPMD
+    inside each stage (pp_tp_param_sharding), batch over `data` — forward
+    and grads must still match the sequential single-device stack."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from interpolated_diffusion_tpu.parallel.pp import pp_tp_param_sharding
+
+    dev = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(dev, axis_names=("data", "pipe", "model"))
+
+    # a TP-splittable block: names from parallel/tp.py rules
+    def tp_block(layer_params, x, ctx):
+        h = jnp.tanh(x @ layer_params["ffn_in"]["kernel"]
+                     + layer_params["ffn_in"]["bias"])
+        return x + h @ layer_params["ffn_out"]["kernel"]
+
+    kw, kb, kv = jax.random.split(jax.random.PRNGKey(12), 3)
+    params = {
+        "ffn_in": {"kernel": 0.3 * jax.random.normal(kw, (4, DIM, 2 * DIM)),
+                   "bias": 0.1 * jax.random.normal(kb, (4, 2 * DIM))},
+        "ffn_out": {"kernel": 0.3 * jax.random.normal(kv, (4, 2 * DIM, DIM))},
+    }
+    x = jax.random.normal(jax.random.PRNGKey(13), (8, 6, DIM))
+    tgt = jax.random.normal(jax.random.PRNGKey(14), (8, 6, DIM))
+
+    shardings = pp_tp_param_sharding(params, mesh)
+    assert shardings["ffn_in"]["kernel"].spec == P("pipe", None, "model")
+    assert shardings["ffn_out"]["kernel"].spec == P("pipe", "model", None)
+    ps = jax.device_put(params, shardings)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+
+    def seq(p, x):
+        def body(h, lp):
+            return tp_block(lp, h, None), None
+        return lax.scan(body, x, p)[0]
+
+    def loss_pp(p, x):
+        out = pipeline_blocks(scan_blocks(tp_block), p, x, mesh=mesh,
+                              n_microbatches=2, mode="partial")
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_seq(p, x):
+        return jnp.mean((seq(p, x) - tgt) ** 2)
+
+    lp, gp = jax.jit(jax.value_and_grad(loss_pp))(ps, xs)
+    ls, gs = jax.jit(jax.value_and_grad(loss_seq))(params, x)
+    np.testing.assert_allclose(float(lp), float(ls), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)

@@ -87,3 +87,33 @@ def test_wan_pp_grads_match_scan():
             np.asarray(leaf), np.asarray(flat_s[path]),
             rtol=5e-4, atol=1e-6,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_wan_pp_3d_partial_tp():
+    """3D composition on (data=2, pipe=2, model=2): WanDiT block stack
+    pipelined (manual pipe), q/k/v/ffn Megatron-split on `model` via GSPMD
+    inside each stage (pp_tp_param_sharding), batch on `data`."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from interpolated_diffusion_tpu.parallel.pp import pp_tp_param_sharding
+
+    dev = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(dev, axis_names=("data", "pipe", "model"))
+    model = _model()
+    latents, t, context = _inputs(jax.random.PRNGKey(8))
+    params = model.init(jax.random.PRNGKey(9), latents, t, context)
+    ref = model.apply(params, latents, t, context)
+
+    blocks = params["params"]["blocks"]
+    b_sh = pp_tp_param_sharding(blocks, mesh)
+    q = b_sh["block"]["self_attn"]["q_proj"]["kernel"].spec
+    assert q == P("pipe", None, "model")
+    placed = dict(params["params"])
+    placed["blocks"] = jax.device_put(blocks, b_sh)
+    placed = {"params": placed}
+
+    out = jax.jit(lambda p: wan_pp_apply(
+        model, p, latents, t, context, mesh=mesh, n_microbatches=2,
+        mode="partial"))(placed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
