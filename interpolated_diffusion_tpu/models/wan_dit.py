@@ -231,6 +231,9 @@ class WanBlock(nn.Module):
     lora_rank: int = 0            # runtime-form LoRA rank (0 = plain Dense)
     lora_alpha: float = 16.0
     lora_targets: str = "attn,ffn"
+    ffn_mode: str = "dense"       # dense | moe (Switch top-1 expert FFN)
+    n_experts: int = 8
+    capacity_factor: float = 1.25
 
     dtype: Dtype = jnp.float32
 
@@ -264,9 +267,19 @@ class WanBlock(nn.Module):
         h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype,
                          name="norm3")(x)
         h = h * (1 + scale2) + shift2
-        h = _dense(self.ffn_dim, self.dtype, "ffn_in", r_ffn, self.lora_alpha)(h)
-        h = nn.gelu(h, approximate=True)
-        h = _dense(self.dim, self.dtype, "ffn_out", r_ffn, self.lora_alpha)(h)
+        if self.ffn_mode == "moe":
+            from .moe import SwitchFFN
+
+            h, aux = SwitchFFN(
+                dim=self.dim, ffn_dim=self.ffn_dim, n_experts=self.n_experts,
+                capacity_factor=self.capacity_factor, dtype=self.dtype,
+                name="moe_ffn",
+            )(h)
+            self.sow("intermediates", "moe_aux", aux)
+        else:
+            h = _dense(self.ffn_dim, self.dtype, "ffn_in", r_ffn, self.lora_alpha)(h)
+            h = nn.gelu(h, approximate=True)
+            h = _dense(self.dim, self.dtype, "ffn_out", r_ffn, self.lora_alpha)(h)
         return x + gate2 * h
 
 
@@ -285,6 +298,9 @@ class WanBlockGroup(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: str = "attn,ffn"
+    ffn_mode: str = "dense"
+    n_experts: int = 8
+    capacity_factor: float = 1.25
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -295,6 +311,8 @@ class WanBlockGroup(nn.Module):
                 attn_mode=self.attn_mode, sla_topk=self.sla_topk,
                 sla_block=self.sla_block, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha, lora_targets=self.lora_targets,
+                ffn_mode=self.ffn_mode, n_experts=self.n_experts,
+                capacity_factor=self.capacity_factor,
                 dtype=self.dtype, name=f"block_{i}",
             )(x, context, t_mod, rope)
         return x
@@ -319,6 +337,9 @@ class _WanBlockScanBody(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_targets: str = "attn,ffn"
+    ffn_mode: str = "dense"
+    n_experts: int = 8
+    capacity_factor: float = 1.25
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -328,6 +349,8 @@ class _WanBlockScanBody(nn.Module):
             attn_mode=self.attn_mode, sla_topk=self.sla_topk,
             sla_block=self.sla_block, lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha, lora_targets=self.lora_targets,
+            ffn_mode=self.ffn_mode, n_experts=self.n_experts,
+            capacity_factor=self.capacity_factor,
             dtype=self.dtype, name="block",
         )(x, context, t_mod, rope)
         return x, None
@@ -430,6 +453,9 @@ class WanDiT(nn.Module):
     lora_rank: int = 0            # > 0 enables runtime-form LoRA in blocks
     lora_alpha: float = 16.0
     lora_targets: str = "attn,ffn"
+    ffn_mode: str = "dense"       # dense | moe (Switch expert FFN per block)
+    n_experts: int = 8
+    capacity_factor: float = 1.25
     use_remat: bool = False
     remat_group: int = 1
     layer_mode: str = "loop"      # loop (unrolled, block_{i} params) |
@@ -513,7 +539,7 @@ class WanDiT(nn.Module):
                 body = nn.remat(body, prevent_cse=False)
             scanned = nn.scan(
                 body,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "intermediates": 0},
                 split_rngs={"params": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=self.n_layers,
@@ -522,6 +548,8 @@ class WanDiT(nn.Module):
                 attn_mode=self.attn_mode, sla_topk=self.sla_topk,
                 sla_block=self.sla_block, lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha, lora_targets=self.lora_targets,
+                ffn_mode=self.ffn_mode, n_experts=self.n_experts,
+                capacity_factor=self.capacity_factor,
                 dtype=self.dtype, name="blocks",
             )
             x, _ = scanned(x, ctx, t_mod, rope)
@@ -537,6 +565,8 @@ class WanDiT(nn.Module):
                     sla_topk=self.sla_topk, sla_block=self.sla_block,
                     lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                     lora_targets=self.lora_targets,
+                    ffn_mode=self.ffn_mode, n_experts=self.n_experts,
+                    capacity_factor=self.capacity_factor,
                     dtype=self.dtype, name=f"group_{g}",
                 )(x, ctx, t_mod, rope)
                 i += n
@@ -548,6 +578,8 @@ class WanDiT(nn.Module):
                     attn_mode=self.attn_mode, sla_topk=self.sla_topk,
                     sla_block=self.sla_block, lora_rank=self.lora_rank,
                     lora_alpha=self.lora_alpha, lora_targets=self.lora_targets,
+                    ffn_mode=self.ffn_mode, n_experts=self.n_experts,
+                    capacity_factor=self.capacity_factor,
                     dtype=self.dtype, name=f"block_{i}",
                 )(x, ctx, t_mod, rope)
 

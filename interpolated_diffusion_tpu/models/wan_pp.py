@@ -40,6 +40,8 @@ def _single_block(model: WanDiT) -> _WanBlockScanBody:
         attn_mode=model.attn_mode, sla_topk=model.sla_topk,
         sla_block=model.sla_block, lora_rank=model.lora_rank,
         lora_alpha=model.lora_alpha, lora_targets=model.lora_targets,
+        ffn_mode=model.ffn_mode, n_experts=model.n_experts,
+        capacity_factor=model.capacity_factor,
         dtype=model.dtype,
     )
 
