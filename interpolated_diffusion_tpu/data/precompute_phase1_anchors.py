@@ -89,6 +89,9 @@ def main(argv=None):
             lora_form=meta.get("lora_form", "merged"),
             lora_targets=meta.get("lora_targets", "attn,ffn"),
             layer_mode=meta.get("layer_mode", "loop"),
+            ffn_mode=meta.get("ffn_mode", "dense"),
+            n_experts=meta.get("n_experts", 8),
+            capacity_factor=meta.get("capacity_factor", 1.25),
             frame_cond=meta["frame_cond"], frame_cond_dim=5, T=T,
         ).items():
             setattr(a, k_, v_)

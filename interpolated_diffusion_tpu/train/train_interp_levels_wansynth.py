@@ -222,6 +222,8 @@ def main(argv=None):
         "attn_mode": args.attn_mode, "lora_rank": args.lora_rank,
         "lora_alpha": args.lora_alpha, "lora_form": args.lora_form,
         "lora_targets": args.lora_targets, "layer_mode": args.layer_mode,
+        "ffn_mode": args.ffn_mode, "n_experts": args.n_experts,
+        "capacity_factor": args.capacity_factor,
         "patch_size": p_sz, "latent_c": C, "latent_h": H, "latent_w": W,
         "text_dim": args.text_dim, "mask_channels": mask_channels,
         "level_t_scale": args.level_t_scale,

@@ -247,6 +247,8 @@ def main(argv=None):
         "lora_rank": args.lora_rank, "lora_alpha": args.lora_alpha,
         "lora_form": args.lora_form, "lora_targets": args.lora_targets,
         "layer_mode": args.layer_mode,
+        "ffn_mode": args.ffn_mode, "n_experts": args.n_experts,
+        "capacity_factor": args.capacity_factor,
         "frame_cond": args.frame_cond, "patch_size": p_sz,
         "latent_c": C, "latent_h": H, "latent_w": W,
         "text_dim": args.text_dim,

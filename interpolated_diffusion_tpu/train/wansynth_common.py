@@ -56,6 +56,12 @@ def add_wan_model_args(p: argparse.ArgumentParser) -> None:
                         "merged weight copy (fits full-length Phase-1 in "
                         "16 GB); merged: W' = W + α/r·A·B adapter-tree "
                         "(reference form)")
+    p.add_argument("--ffn_mode", type=str, default="dense",
+                   choices=["dense", "moe"],
+                   help="moe: Switch top-1 expert FFN per block "
+                        "(models/moe.py; shard experts via parallel/ep.py)")
+    p.add_argument("--n_experts", type=int, default=8)
+    p.add_argument("--capacity_factor", type=float, default=1.25)
     p.add_argument("--use_remat", type=int, default=1)
     p.add_argument("--layer_mode", type=str, default="scan",
                    choices=["loop", "scan"],
@@ -146,6 +152,9 @@ def build_wan(args, bf16: bool = True) -> WanDiT:
         sla_block=args.sla_block,
         lora_rank=runtime_rank, lora_alpha=args.lora_alpha,
         lora_targets=str(getattr(args, "lora_targets", "attn,ffn")),
+        ffn_mode=str(getattr(args, "ffn_mode", "dense")),
+        n_experts=int(getattr(args, "n_experts", 8)),
+        capacity_factor=float(getattr(args, "capacity_factor", 1.25)),
         use_remat=bool(args.use_remat),
         layer_mode=str(getattr(args, "layer_mode", "loop")),
         dtype=jnp.bfloat16 if bf16 else jnp.float32,

@@ -135,3 +135,27 @@ def test_wan_dit_moe_runs_and_trains():
                      if "moe_ffn" in jax.tree_util.keystr(pth)]
         assert moe_grads and all(np.isfinite(np.asarray(x)).all()
                                  for x in moe_grads)
+
+
+def test_phase1_trainer_moe_cli(tmp_path):
+    """The Phase-1 Wan trainer runs with --ffn_mode moe end-to-end and the
+    checkpoint meta records the MoE config for sampler-side rebuilds."""
+    import json
+    import os
+
+    from interpolated_diffusion_tpu.train.train_keypoints_wansynth import (
+        main as p1_main,
+    )
+
+    out = str(tmp_path / "p1moe")
+    p1_main(["--num_samples", "12", "--T", "9", "--latent_c", "4",
+             "--latent_h", "8", "--latent_w", "8", "--text_len", "8",
+             "--text_dim", "64", "--wan_dim", "64", "--wan_layers", "2",
+             "--wan_heads", "2", "--wan_ffn", "128", "--attn_mode", "dense",
+             "--use_remat", "0", "--batch", "2", "--steps", "2",
+             "--save_every", "2", "--log_every", "1", "--bf16", "0",
+             "--K", "3", "--N_train", "20", "--lora_rank", "0",
+             "--ffn_mode", "moe", "--n_experts", "2",
+             "--out_dir", out])
+    meta = json.load(open(os.path.join(out, "ckpt_2", "meta.json")))["meta"]
+    assert meta["ffn_mode"] == "moe" and meta["n_experts"] == 2
