@@ -60,7 +60,17 @@ def split_by_process(shards: Sequence[str], process_index: Optional[int] = None,
 
 
 def iter_tar_samples(path: str) -> Iterator[Dict[str, np.ndarray]]:
-    """Yield {field: array} dicts grouped by sample key from one tar shard."""
+    """Yield {field: array} dicts grouped by sample key from one tar shard.
+
+    Routes through the native GIL-free reader (data/native_tar.py,
+    native/tar_reader.cpp) when it builds — prefetch threads then stream
+    shards concurrently; identical yields either way (IDT_NATIVE_TAR=0
+    forces this tarfile fallback)."""
+    from .native_tar import iter_tar_samples_native, native_tar_available
+
+    if native_tar_available():
+        yield from iter_tar_samples_native(path)
+        return
     current_key: Optional[str] = None
     sample: Dict[str, np.ndarray] = {}
     with tarfile.open(path, "r") as tf:
