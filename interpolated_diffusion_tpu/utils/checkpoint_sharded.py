@@ -48,7 +48,15 @@ def load_checkpoint_sharded(
     params_template: Any,
     opt_state_template: Optional[Any] = None,
     ema_template: Optional[Any] = None,
+    param_shardings: Optional[Any] = None,
 ) -> Tuple[int, Dict[str, Any]]:
+    """Restore a sharded checkpoint.
+
+    `param_shardings`: optional pytree of NamedSharding matching
+    params_template — each param materializes DIRECTLY into its target
+    sharding (TP/PP/EP layouts from parallel/{tp,pp,ep}.py), so no device
+    holds the full tree at any point; without it arrays restore
+    default-placed and must be device_put afterwards (full-size host copy)."""
     import orbax.checkpoint as ocp
 
     with open(os.path.join(path, "meta.json")) as f:
@@ -59,7 +67,18 @@ def load_checkpoint_sharded(
     if header.get("has_ema"):
         tmpl["ema"] = ema_template if ema_template is not None else params_template
     ckptr = ocp.PyTreeCheckpointer()
+    kwargs = {}
+    if param_shardings is not None:
+        def rarg(sh):
+            return ocp.ArrayRestoreArgs(sharding=sh)
+
+        restore_args = {"params": jax.tree_util.tree_map(rarg, param_shardings)}
+        for k in tmpl:
+            if k != "params":
+                restore_args[k] = jax.tree_util.tree_map(
+                    lambda _: ocp.RestoreArgs(), tmpl[k])
+        kwargs["restore_args"] = restore_args
     restored = ckptr.restore(os.path.join(os.path.abspath(path), "arrays"),
-                             item=tmpl)
+                             item=tmpl, **kwargs)
     restored["meta"] = header["meta"]
     return int(header["step"]), restored

@@ -188,3 +188,30 @@ def test_pp_3d_dp_pp_tp():
     for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_pp_sharded_checkpoint_roundtrip(tmp_path):
+    """Orbax sharded save → restore DIRECTLY into the PP layer sharding
+    (no full-tree host copy), then run the pipeline on the restored tree."""
+    from interpolated_diffusion_tpu.utils.checkpoint_sharded import (
+        load_checkpoint_sharded, save_checkpoint_sharded,
+    )
+
+    mesh = _mesh(1, 8)
+    params = _params(jax.random.PRNGKey(20))
+    sh = pp_layer_sharding(params, mesh)
+    sharded = jax.device_put(params, sh)
+    path = str(tmp_path / "ckpt_3")
+    save_checkpoint_sharded(path, sharded, step=3, meta={"stage": "pp"})
+
+    step, payload = load_checkpoint_sharded(path, params, param_shardings=sh)
+    assert step == 3
+    restored = payload["params"]
+    assert restored["w"].sharding.spec == sh["w"].spec
+    assert len(restored["w"].addressable_shards) == 8
+    x = jax.random.normal(jax.random.PRNGKey(21), (8, 6, DIM))
+    out = jax.jit(lambda p, x: pipeline_blocks(
+        scan_blocks(_block), p, x, mesh=mesh, n_microbatches=4))(restored, x)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_sequential(params, x)),
+                               rtol=1e-5, atol=1e-5)
