@@ -201,6 +201,10 @@ class WanSynthTarDataset:
                         if k != "__key__" and isinstance(items[0][k], np.ndarray)
                         and items[0][k].dtype != object
                     }
+                    # plain-list passthrough for sample triage (diagnostics);
+                    # consumers device-put by explicit array key, so this
+                    # never reaches jit
+                    out["__keys__"] = [str(it.get("__key__", "")) for it in items]
                     yield out
                     items = []
 

@@ -297,8 +297,12 @@ class SinkhornWarpInterpolator(nn.Module):
             return ones, ones
         f01 = jnp.transpose(flow01_tok, (0, 3, 1, 2)).astype(jnp.float32)
         f10 = jnp.transpose(flow10_tok, (0, 3, 1, 2)).astype(jnp.float32)
-        err01 = jnp.linalg.norm(f01 + warp(f10, f01), axis=1)
-        err10 = jnp.linalg.norm(f10 + warp(f01, f10), axis=1)
+        # sqrt(x+eps), not linalg.norm: the fb residual is exactly 0 wherever
+        # both flows vanish (e.g. 1x1 tail windows + identity SE(2)), and
+        # norm's gradient at 0 is NaN — it poisons tau/dustbin every step.
+        nrm = lambda v: jnp.sqrt((v * v).sum(axis=1) + 1e-12)
+        err01 = nrm(f01 + warp(f10, f01))
+        err10 = nrm(f10 + warp(f01, f10))
         conf01 = jnp.clip(jnp.exp(-0.5 * (err01 / self.fb_sigma) ** 2), 0.0, 1.0)
         conf10 = jnp.clip(jnp.exp(-0.5 * (err10 / self.fb_sigma) ** 2), 0.0, 1.0)
         return conf01, conf10

@@ -152,3 +152,32 @@ def test_sinkhorn_warper_translation_beats_lerp():
     err_warp = float(((out[:, mid] - latents[:, mid]) ** 2).mean())
     err_lerp = float(((lerp[:, mid] - latents[:, mid]) ** 2).mean())
     assert err_warp < err_lerp, f"warp {err_warp} vs lerp {err_lerp}"
+
+
+def test_sinkhorn_train_grads_finite_with_tail_windows():
+    """tau/dustbin gradients stay finite when the token grid has 1x1 tail
+    windows (hp % win != 0) and the SE(2) estimate is identity — the exact
+    configuration where the fb-consistency residual is exactly 0 and a naive
+    norm's gradient NaNs (regression for the _fb_conf safe-norm)."""
+    from interpolated_diffusion_tpu.models.sinkhorn_warp import SinkhornWarpInterpolator
+    from interpolated_diffusion_tpu.ops.keyframes import sample_fixed_k_indices_batch
+
+    B, T, C, H, W = 2, 5, 4, 16, 16  # patch 4 -> 4x4 tokens, win 3 -> 1-wide tails
+    model = SinkhornWarpInterpolator(
+        in_channels=C, patch_size=4, win_size=3, global_mode="phasecorr",
+        sinkhorn_iters=10, learn_tau=True, learn_dustbin=True, fb_sigma=2.0)
+    latents = jax.random.normal(jax.random.PRNGKey(0), (B, T, C, H, W))
+    idx, mask = sample_fixed_k_indices_batch(jax.random.PRNGKey(1), B, T, 3)
+    params = model.init(jax.random.PRNGKey(2), latents, idx)["params"]
+
+    def loss_fn(p):
+        out, _ = model.apply({"params": p}, latents, idx)
+        hidden = (~mask)[..., None, None, None]
+        return (((out - latents) ** 2) * hidden).sum() / hidden.sum()
+
+    grads = jax.grad(loss_fn)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in flat), grads
+    # the scalars must actually receive signal, not be zeroed out
+    assert abs(float(grads["tau_raw"])) > 0.0
+    assert abs(float(grads["dustbin"])) > 0.0
