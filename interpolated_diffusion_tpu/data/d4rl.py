@@ -306,6 +306,9 @@ def main(argv=None):
     p.add_argument("--min_tortuosity", type=float, default=None)
     p.add_argument("--min_turns", type=int, default=None)
     p.add_argument("--turn_angle_deg", type=float, default=30.0)
+    p.add_argument("--use_sdf", type=int, default=0,
+                   help="also emit a per-sample signed distance field "
+                        "(reference prepare_d4rl_dataset.py --use_sdf)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     with np.load(args.episodes) as f:
@@ -331,6 +334,12 @@ def main(argv=None):
         args.min_path_len, args.min_tortuosity, args.min_turns,
         args.turn_angle_deg,
     )
+    if args.use_sdf:
+        from .maze import sdf_from_occupancy
+        n = data["x"].shape[0]
+        sdf = sdf_from_occupancy(occ)
+        data["sdf"] = np.broadcast_to(
+            sdf[None, None], (n, 1, *occ.shape)).astype(np.float32).copy()
     np.savez_compressed(args.out_path, **data)
     print(f"wrote {args.out_path}: " +
           ", ".join(f"{k}{v.shape}" for k, v in data.items()))

@@ -562,6 +562,7 @@ def _bwd_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(lut.reshape(BH, m_blocks * topk), qp, kp, vp, dop, lsep, deltap)[0]
 
     dk, dv = pl.pallas_call(
@@ -596,6 +597,7 @@ def _bwd_pallas(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(lut.reshape(BH, m_blocks * topk), qp, kp, vp, dop, lsep, deltap)
     return dq[:, :L], dk[:, :L], dv[:, :L]
 

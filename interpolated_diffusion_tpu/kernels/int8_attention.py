@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .block_sparse_attention import (
-    _LANES, _LOG2E, _NEG_INF, _bwd_pallas, _bwd_xla, _pad_len,
+    _LANES, _LOG2E, _NEG_INF, _bwd_pallas, _bwd_xla, _fwd_pallas, _pad_len,
 )
 
 
@@ -166,7 +166,7 @@ def _fwd_pallas_int8(
     return o[:, :L], lse.reshape(BH, Lq)[:, :L]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def int8_block_sparse_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -178,13 +178,23 @@ def int8_block_sparse_attention(
     int8_matmul: bool = True,
     bwd_impl: str = "pallas",
     interpret: bool = False,
+    bwd_recompute: bool = True,
 ) -> jnp.ndarray:
     """Quantized block-sparse attention: int8 Q/K (per-row scales), bf16 V.
 
     Same contract as block_sparse_attention; quantization happens inside.
     Gradients are straight-through: the bf16 backward runs over the same LUT
-    with the UNQUANTIZED q/k/v (reference SageSLA trains exactly this way —
-    quantized fwd through the CUDA ext, high-precision torch bwd).
+    with the UNQUANTIZED q/k/v. (This is strictly stronger than the reference
+    — SLA/core.py:212-240 writes the sparse output via an in-place CUDA call
+    with no autograd graph, so the reference's sparse branch contributes NO
+    gradient and only its linear branch trains.)
+
+    bwd_recompute=True (default) recomputes a consistent bf16 (o, lse) pair
+    inside the backward — flash-style recompute — so grads match the exact
+    bf16 straight-through oracle; with False the backward reuses the
+    quantized forward's (o, lse), which rescales each softmax row by the
+    int8-vs-bf16 lse gap (cheaper by one sparse fwd, grads carry O(10%)
+    quantization noise).
     """
     o, _ = _int8_fwd_only(q, k, v, lut, block_m, block_n, scale,
                           int8_matmul, interpret)
@@ -208,18 +218,26 @@ def _int8_fwd_only(q, k, v, lut, block_m, block_n, scale, int8_matmul,
 
 
 def _int8_fwd(q, k, v, lut, block_m, block_n, scale, int8_matmul, bwd_impl,
-              interpret):
+              interpret, bwd_recompute):
     o, lse = _int8_fwd_only(q, k, v, lut, block_m, block_n, scale,
                             int8_matmul, interpret)
     return o, (q, k, v, lut, o, lse)
 
 
 def _int8_bwd(block_m, block_n, scale, int8_matmul, bwd_impl, interpret,
-              res, do):
+              bwd_recompute, res, do):
     q, k, v, lut, o, lse = res
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if bwd_impl == "pallas":
+        if bwd_recompute:
+            # consistent bf16 (o, lse) for the straight-through backward:
+            # the quantized forward's lse rescales every recomputed softmax
+            # row by exp2(lse_int8 − lse_bf16)
+            o, lse = _fwd_pallas(
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16), lut, block_m, block_n, scale,
+                interpret=interpret)
         # `interpret` is set on the off-TPU fallback path — the backward
         # kernels must run in interpreter mode too (Mosaic can't lower on CPU)
         dq, dk, dv = _bwd_pallas(q, k, v, lut, o, lse, do,

@@ -28,6 +28,9 @@ run_step bench_sweep 2400 python scripts/bench_sweep.py
 # 2) real-TPU kernel oracle pass
 run_step kernels 2400 python scripts/verify_kernel_tpu.py
 
+# 2b) attention block-size autotune at the Wan 33k geometry
+run_step autotune_attn 3600 python scripts/autotune_attention.py
+
 # 3) D4RL T=128 unified at the reference's winning recipe, on the fixed
 #    kp_feat path AND the fixed velocity scaling (VERDICT item 3). Fresh
 #    OUT; only the raw episode synthesis (ep_*.npz, the slow CPU stage) is

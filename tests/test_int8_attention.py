@@ -101,3 +101,28 @@ def test_sla_module_int8_mode():
     o = mod.apply(params, q, k, v)
     assert o.shape == (B, H, L, D)
     assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
+def test_int8_pallas_bwd_interpret_forwarding():
+    """bwd_impl='pallas' + interpret=True must run the interpreted backward
+    kernels off-TPU and match the oracle grads (regression: _bwd_pallas
+    accepted `interpret` but never forwarded it into its pallas_calls)."""
+    BH, L, D, BM = 1, 128, 64, 64
+    q, k, v = jax.random.normal(jax.random.PRNGKey(7), (3, BH, L, D))
+    lut = _full_lut(BH, L // BM, L // BM)
+
+    def loss_pallas(q, k, v):
+        o = int8_block_sparse_attention(q, k, v, lut, BM, BM, None, True,
+                                        "pallas", True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        o, _ = block_sparse_attention_reference(q, k, v, lut, BM, BM)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        denom = np.abs(np.asarray(b)).max() + 1e-6
+        rel = np.abs(np.asarray(a) - np.asarray(b)).max() / denom
+        assert rel < 0.05, f"grad mismatch rel={rel}"
