@@ -1,0 +1,54 @@
+"""Opt-in autotuned kernel block sizes.
+
+scripts/autotune_attention.py sweeps Pallas attention block configs on the
+real TPU and writes docs/attn_autotune.json. Setting
+
+    ID_TPU_ATTN_TUNE=/path/to/attn_autotune.json
+
+makes the long-sequence flash dispatch in WanAttention use the measured
+winners instead of the built-in defaults. Without the env var this module is
+inert — runs stay reproducible from flags alone, and tuned block sizes are
+trace-time constants either way (static shapes; nothing dynamic reaches XLA).
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import Optional, Tuple
+
+_ENV = "ID_TPU_ATTN_TUNE"
+
+
+@lru_cache(maxsize=1)
+def _load(path: str) -> dict:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _best(kernel: str, prefer: str) -> Optional[Tuple[int, int]]:
+    path = os.environ.get(_ENV)
+    if not path:
+        return None
+    cfg = _load(path).get(kernel, {})
+    tag = cfg.get(prefer) or cfg.get("best_fwd") or cfg.get("best_grad")
+    if not tag:
+        return None
+    try:
+        m, n = (int(t) for t in tag.split("x"))
+        return m, n
+    except ValueError:
+        return None
+
+
+def flash_blocks(default_m: int = 512, default_n: int = 1024,
+                 prefer: str = "best_grad") -> Tuple[int, int]:
+    """(block_m, block_n) for the dense flash kernel: tuned or defaults.
+
+    `prefer` picks the fwd+bwd winner by default (training dominates cost);
+    falls back to the forward winner, then to the built-in defaults.
+    """
+    return _best("flash", prefer) or (default_m, default_n)

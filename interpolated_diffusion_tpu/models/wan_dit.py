@@ -207,13 +207,15 @@ class WanAttention(nn.Module):
             # kernel, O(L) memory — XLA attention would materialize the
             # [H, L, Lk] logits (6.7 GB f32 for cross-attn at Wan scale).
             from ..kernels.block_sparse_attention import flash_attention
+            from ..kernels.tuning import flash_blocks
 
-            bn = 1024 if Lk >= 1024 else max(128, _pad_len(Lk, 128))
+            bm, bn = flash_blocks()      # autotuned when ID_TPU_ATTN_TUNE set
+            bn = bn if Lk >= bn else max(128, _pad_len(Lk, 128))
             out = flash_attention(
                 q.reshape(B * H, L, Dh).astype(jnp.bfloat16),
                 k.reshape(B * H, Lk, Dh).astype(jnp.bfloat16),
                 v.reshape(B * H, Lk, Dh).astype(jnp.bfloat16),
-                512, bn,
+                bm, bn,
             ).reshape(B, H, L, Dh).astype(q.dtype)
         else:
             out = dense_attention(q, k, v)

@@ -72,6 +72,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="runs/kp_wansynth")
     p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--ckpt_async", type=int, default=0,
+                   help="orbax async checkpoints: serialization/IO on a "
+                        "background thread so the train loop never stalls "
+                        "on a save (multi-host safe)")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--n_data_shards", type=int, default=None)
@@ -304,8 +308,21 @@ def main(argv=None):
                 to_save = dict(state.params)
                 if base is not None:
                     to_save["wan_base"] = base
-                save_checkpoint(os.path.join(args.out_dir, f"ckpt_{step + 1}"),
-                                to_save, None, step + 1, state.ema_params, meta)
+                ckpt_dir = os.path.join(args.out_dir, f"ckpt_{step + 1}")
+                if args.ckpt_async:
+                    from ..utils.checkpoint_sharded import (
+                        save_checkpoint_sharded,
+                    )
+                    save_checkpoint_sharded(
+                        ckpt_dir, to_save, None, step + 1, state.ema_params,
+                        meta, async_save=True)
+                else:
+                    save_checkpoint(ckpt_dir, to_save, None, step + 1,
+                                    state.ema_params, meta)
+    if args.ckpt_async:
+        from ..utils.checkpoint_sharded import wait_for_async_saves
+
+        wait_for_async_saves()   # last checkpoint must be durable
     if hasattr(dev_iter, "close"):
         dev_iter.close()   # stop the prefetch thread, free queued batches
     return state

@@ -80,6 +80,12 @@ def add_wan_model_args(p: argparse.ArgumentParser) -> None:
 
 
 def make_wansynth_loader(args, seed: int):
+    from ..parallel.multihost import maybe_initialize_distributed
+
+    # pod-scale runs: wire the processes into one logical runtime before any
+    # device access, so the tar dataset's split_by_process sees the real
+    # process_index/count; single-process this is a no-op
+    maybe_initialize_distributed()
     if args.data == "tar":
         if not args.data_root:
             raise ValueError("--data_root required for --data tar")

@@ -68,6 +68,13 @@ def load_checkpoint(
     """
     with open(os.path.join(path, "meta.json")) as f:
         header = json.load(f)
+    if header.get("format") == "orbax":
+        # trained with sharded/async saves — route through the orbax reader
+        # so samplers/diagnostics work on either format transparently
+        from .checkpoint_sharded import load_checkpoint_sharded
+
+        return load_checkpoint_sharded(path, params_template,
+                                       opt_state_template, ema_template)
     payload: Dict[str, Any] = {"meta": header["meta"]}
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
         payload["params"] = serialization.from_bytes(params_template, f.read())

@@ -31,6 +31,11 @@ run_step kernels 2400 python scripts/verify_kernel_tpu.py
 # 2b) attention block-size autotune at the Wan 33k geometry
 run_step autotune_attn 3600 python scripts/autotune_attention.py
 
+# 2c) refresh the 33k attention-mode numbers: the int8 backward now
+#     recomputes a consistent bf16 (o, lse) — train-step times changed
+run_step bench_wan33k 5400 python scripts/bench_wan33k.py \
+  --out_json docs/bench_wan33k.json
+
 # 3) D4RL T=128 unified at the reference's winning recipe, on the fixed
 #    kp_feat path AND the fixed velocity scaling (VERDICT item 3). Fresh
 #    OUT; only the raw episode synthesis (ep_*.npz, the slow CPU stage) is

@@ -65,6 +65,34 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     assert step2 == 5 and meta2 == meta
 
 
+def test_sharded_checkpoint_async_save(tmp_path):
+    """async_save returns immediately; after wait_for_async_saves the arrays
+    AND meta.json are durable and load back exactly. Back-to-back async
+    saves serialize (second save joins the first)."""
+    import os
+
+    from interpolated_diffusion_tpu.utils.checkpoint_sharded import (
+        load_checkpoint_sharded, save_checkpoint_sharded,
+        wait_for_async_saves,
+    )
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    p1, p2 = str(tmp_path / "ckpt_1"), str(tmp_path / "ckpt_2")
+    save_checkpoint_sharded(p1, params, step=1, meta={"k": 1},
+                            async_save=True)
+    save_checkpoint_sharded(
+        p2, jax.tree_util.tree_map(lambda x: x * 2, params), step=2,
+        meta={"k": 2}, async_save=True)
+    wait_for_async_saves()
+    assert os.path.exists(os.path.join(p1, "meta.json"))
+    assert os.path.exists(os.path.join(p2, "meta.json"))
+    s1, pay1 = load_checkpoint_sharded(p1, params)
+    s2, pay2 = load_checkpoint_sharded(p2, params)
+    assert (s1, s2) == (1, 2)
+    np.testing.assert_allclose(np.asarray(pay1["params"]["w"]) * 2,
+                               np.asarray(pay2["params"]["w"]))
+
+
 def test_rf_loss_mask_shapes_and_scale():
     """[B,T] and [B,T,1] masks broadcast; an all-ones mask equals mean()."""
     import jax.numpy as jnp

@@ -160,3 +160,28 @@ def test_graft_dryrun_multichip(devices):
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process(devices):
+    """Pod helpers must degrade cleanly single-process: no distributed init,
+    host-local batches land shard-correctly on the mesh, the cross-process
+    config guard is trivially satisfied."""
+    import numpy as np
+
+    from interpolated_diffusion_tpu.parallel.mesh import make_mesh
+    from interpolated_diffusion_tpu.parallel.multihost import (
+        assert_same_across_processes, global_batch_from_local,
+        maybe_initialize_distributed, process_local_slice,
+    )
+
+    assert maybe_initialize_distributed() is False  # no env → no-op
+
+    mesh = make_mesh(n_data=8)
+    batch = {"x": np.arange(16 * 3, dtype=np.float32).reshape(16, 3),
+             "n": np.float32(7.0)}
+    g = global_batch_from_local(batch, mesh)
+    assert g["x"].shape == (16, 3)
+    assert len(g["x"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(g["x"]), batch["x"])
+    assert_same_across_processes(123.0, what="seed")
+    assert process_local_slice(16) == slice(0, 16)

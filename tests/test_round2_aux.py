@@ -186,3 +186,30 @@ def test_maze2d_synth_to_unified_dp_route(tmp_path):
     i = np.clip(np.round(f["x"][:, :, 1] * (h - 1)).astype(int), 0, h - 1)
     coll = f["occ"][np.arange(16)[:, None], 0, i, j] > 0.5
     assert coll.mean() <= 0.05
+
+
+def test_attn_tuning_registry(tmp_path, monkeypatch):
+    import json
+
+    from interpolated_diffusion_tpu.kernels import tuning
+
+    # inert without the env var
+    monkeypatch.delenv(tuning._ENV, raising=False)
+    assert tuning.flash_blocks() == (512, 1024)
+
+    p = tmp_path / "tune.json"
+    p.write_text(json.dumps({"flash": {"best_fwd": "256x2048",
+                                       "best_grad": "1024x512"}}))
+    monkeypatch.setenv(tuning._ENV, str(p))
+    assert tuning.flash_blocks() == (1024, 512)          # grad preferred
+    assert tuning.flash_blocks(prefer="best_fwd") == (256, 2048)
+
+    # missing kernel entry / unparseable file -> defaults, no crash
+    p2 = tmp_path / "empty.json"
+    p2.write_text("{}")
+    monkeypatch.setenv(tuning._ENV, str(p2))
+    assert tuning.flash_blocks(128, 128) == (128, 128)
+    p3 = tmp_path / "garbage.json"
+    p3.write_text("not json")
+    monkeypatch.setenv(tuning._ENV, str(p3))
+    assert tuning.flash_blocks() == (512, 1024)

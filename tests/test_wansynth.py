@@ -270,3 +270,36 @@ def test_anchor_precompute_cache_interval(tmp_path):
     assert np.isfinite(outs[2]).all()
     # caching changes the trajectory (it is an approximation, not a no-op)
     assert not np.allclose(outs[1], outs[2], atol=1e-6)
+
+
+def test_phase1_trainer_async_sharded_ckpt(tmp_path):
+    """--ckpt_async 1 writes orbax checkpoints in the background; the
+    generic load_checkpoint reads them back transparently (format dispatch),
+    so samplers work on either format."""
+    import os
+
+    from interpolated_diffusion_tpu.train.train_keypoints_wansynth import (
+        main as p1_main,
+    )
+    from interpolated_diffusion_tpu.utils.checkpoint import (
+        load_checkpoint, read_meta,
+    )
+
+    out = str(tmp_path / "p1async")
+    p1_main(["--num_samples", "12", "--T", "9", "--latent_c", "4",
+             "--latent_h", "8", "--latent_w", "8", "--text_len", "8",
+             "--text_dim", "64", "--wan_dim", "64", "--wan_layers", "2",
+             "--wan_heads", "2", "--wan_ffn", "128", "--attn_mode", "dense",
+             "--use_remat", "0", "--batch", "2", "--steps", "2",
+             "--save_every", "2", "--log_every", "1", "--bf16", "0",
+             "--K", "3", "--N_train", "20", "--lora_rank", "0",
+             "--ckpt_async", "1", "--out_dir", out])
+    ckpt = os.path.join(out, "ckpt_2")
+    step, meta = read_meta(ckpt)
+    assert step == 2
+    step2, payload = load_checkpoint(ckpt, None)
+    assert step2 == 2 and payload["meta"] == meta
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(payload["params"])
+    assert leaves and all(l.size > 0 for l in leaves)
