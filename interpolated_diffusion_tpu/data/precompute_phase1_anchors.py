@@ -36,6 +36,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--shard_size", type=int, default=64)
     p.add_argument("--ddim_steps", type=int, default=4)
+    p.add_argument("--solver", type=str, default="ddim",
+                   choices=["ddim", "pfdiff"],
+                   help="pfdiff: past-score springboard — ~half the model "
+                        "evals per anchor (mutually exclusive with "
+                        "--cache_interval > 1)")
     p.add_argument("--cache_interval", type=int, default=1,
                    help="FORA-style block caching (arXiv 2407.01425): run the "
                         "Wan block stack every Nth DDIM step and reuse its "
@@ -162,6 +167,9 @@ def main(argv=None):
     if interval > 1 and not meta.get("use_wan"):
         raise ValueError("--cache_interval > 1 needs a use_wan checkpoint "
                          "(block caching lives in the WanDiT forward)")
+    if interval > 1 and args.solver == "pfdiff":
+        raise ValueError("--solver pfdiff and --cache_interval > 1 both "
+                         "substitute model evals — pick one")
 
     @jax.jit
     def sample_anchors(key, idx, text):
@@ -173,12 +181,17 @@ def main(argv=None):
                           blocks_delta, return_delta) if meta.get("use_wan") \
                 else eps_fn(z.astype(jnp.float32), t_b, idx, text)
 
-        delta0 = None
-        if interval > 1:
-            dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
-            delta0 = jnp.zeros((B, *cache_shape), dt_)
-        z, _ = ddim_scan(scan_eps, z, times, schedule,
-                         cache_interval=interval, delta0=delta0)
+        if args.solver == "pfdiff":
+            from ..ops.ddpm import pfdiff_scan
+
+            z, _ = pfdiff_scan(scan_eps, z, times, schedule)
+        else:
+            delta0 = None
+            if interval > 1:
+                dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
+                delta0 = jnp.zeros((B, *cache_shape), dt_)
+            z, _ = ddim_scan(scan_eps, z, times, schedule,
+                             cache_interval=interval, delta0=delta0)
         return unpatchify_tokens(z, p_sz, spatial)   # [B,K,C,H,W]
 
     # Output shards MIRROR the source shard basenames: the trainer-side

@@ -268,3 +268,73 @@ def ddim_scan(
     (z, _), ys = jax.lax.scan(body, (z, delta0),
                               (t_pairs, jnp.arange(t_pairs.shape[0])))
     return z, ys
+
+
+def pfdiff_scan(
+    eps_fn,
+    z: jnp.ndarray,
+    times: jnp.ndarray,
+    schedule,
+    post=None,
+    collect: bool = False,
+):
+    """PFDiff-style DDIM scan: ~half the model evals for the same grid.
+
+    Training-free first-order acceleration in the spirit of PFDiff
+    (arXiv 2408.08822): the previous step's score is reused as a predictor —
+    a "springboard" DDIM hop t_i → t_{i+1} with the PAST eps positions a
+    single fresh model eval at the intermediate state, and that "foresight"
+    eps then drives one double-length jump t_i → t_{i+2} from the original
+    state. Per pair of grid intervals this costs ONE eval instead of two
+    (NFE = 1 + ceil((S-1)/2) for S intervals; odd tails take a plain step).
+
+    Exactness property (tested): DDIM's x0-parameterization is transitive in
+    eps, so for an eps that doesn't change between adjacent grid points this
+    reproduces plain DDIM on the same grid bit-for-bit — the method only
+    spends error where the score actually moves.
+
+    Same contract as ddim_scan(interval=1): eps_fn(z, t_b) -> eps, post(z)
+    applied after every committed state. collect=True stacks the committed
+    states (one per springboard group — fewer entries than ddim_scan's).
+    Not composable with FORA block caching (both substitute model evals).
+    """
+    B = z.shape[0]
+    post = post or (lambda x: x)
+    n_t = int(times.shape[0])            # S+1 grid points, S intervals
+    n_int = n_t - 1
+    if n_int < 2:
+        return ddim_scan(eps_fn, z, times, schedule, post=post,
+                         collect=collect)
+
+    tb = lambda t: jnp.full((B,), t, dtype=jnp.int32)
+
+    # warmup: one full eval + plain DDIM step over the first interval
+    eps_past = eps_fn(z, tb(times[0]))
+    z = post(ddim_step(z, eps_past, tb(times[0]), tb(times[1]), schedule))
+
+    # groups of two intervals: (t_i, t_mid, t_next) triples over the rest
+    rem = n_int - 1
+    n_groups = rem // 2
+    if n_groups > 0:
+        idx = 1 + 2 * jnp.arange(n_groups)
+        triples = jnp.stack([times[idx], times[idx + 1], times[idx + 2]],
+                            axis=-1)                      # [G, 3]
+
+        def body(carry, tri):
+            z, eps_past = carry
+            t_i, t_mid, t_next = tri[0], tri[1], tri[2]
+            z_mid = ddim_step(z, eps_past, tb(t_i), tb(t_mid), schedule)
+            eps_mid = eps_fn(z_mid, tb(t_mid))
+            z = post(ddim_step(z, eps_mid, tb(t_i), tb(t_next), schedule))
+            return (z, eps_mid), (z if collect else None)
+
+        (z, eps_past), ys = jax.lax.scan(body, (z, eps_past), triples)
+    else:
+        ys = None
+
+    if rem % 2 == 1:                     # odd tail: one plain full step
+        eps = eps_fn(z, tb(times[-2]))
+        z = post(ddim_step(z, eps, tb(times[-2]), tb(times[-1]), schedule))
+        if collect and ys is not None:
+            ys = jnp.concatenate([ys, z[None]], axis=0)
+    return z, ys

@@ -93,6 +93,10 @@ class PipelineConfig:
                                            # the block stack every Nth step,
                                            # reuse its residual in between
                                            # (1 = exact)
+        stage1_solver: str = "ddim",       # ddim | pfdiff (past-score
+                                           # springboard: ~half the model
+                                           # evals on the same grid; not
+                                           # composable with cache_interval)
         stage1_best_of: int = 1,           # sample N anchor sets and keep
                                            # the one whose interpolation has
                                            # the lowest collision rate
@@ -162,13 +166,24 @@ def make_pipeline(
             return kp_model.apply({"params": kp_params}, z, t_b, idx,
                                   known_mask, cond, T, **cache_kw)
 
-        z, z_steps = ddim_scan(
-            eps_fn, z, times, kp_schedule,
-            post=lambda z: clip_pos(jnp.where(known_mask, known_values, z)),
-            cache_interval=cfg.stage1_cache_interval,
-            delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
-            collect=cfg.collect_steps,
-        )
+        post = lambda z: clip_pos(jnp.where(known_mask, known_values, z))
+        if cfg.stage1_solver == "pfdiff":
+            if cfg.stage1_cache_interval > 1:
+                raise ValueError(
+                    "--stage1_solver pfdiff and --stage1_cache_interval > 1 "
+                    "both substitute model evals — pick one")
+            from ..ops.ddpm import pfdiff_scan
+
+            z, z_steps = pfdiff_scan(eps_fn, z, times, kp_schedule,
+                                     post=post, collect=cfg.collect_steps)
+        else:
+            z, z_steps = ddim_scan(
+                eps_fn, z, times, kp_schedule,
+                post=post,
+                cache_interval=cfg.stage1_cache_interval,
+                delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
+                collect=cfg.collect_steps,
+            )
         if cfg.logit_space:
             z = sigmoid_pos(z)
             if cfg.collect_steps:
@@ -490,6 +505,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "scan: full block-stack evaluation every Nth step, "
                         "cached residual in between (1 = exact; 2 ≈ halves "
                         "Stage-1 compute at a small anchor-error cost)")
+    p.add_argument("--stage1_solver", type=str, default="ddim",
+                   choices=["ddim", "pfdiff"],
+                   help="pfdiff: PFDiff-style past-score springboard — "
+                        "~half the Stage-1 model evals on the same timestep "
+                        "grid (training-free; exact when eps is locally "
+                        "static). Mutually exclusive with cache_interval>1")
     p.add_argument("--stage1_cache", type=str, default="")
     p.add_argument("--stage1_cache_mode", type=str, default="none",
                    choices=["none", "save", "load", "auto"])
@@ -537,6 +558,7 @@ def main(argv=None):
         stage2_mask_policy=args.stage2_mask_policy,
         collect_steps=bool(args.save_steps),
         stage1_cache_interval=args.stage1_cache_interval,
+        stage1_solver=args.stage1_solver,
         stage1_best_of=args.stage1_best_of,
         stage1_best_of_mode=args.stage1_best_of_mode,
         kp_feat_dim=(int(kp_meta.get("kp_feat_dim", 0))

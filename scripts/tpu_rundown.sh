@@ -36,6 +36,14 @@ run_step autotune_attn 3600 python scripts/autotune_attention.py
 run_step bench_wan33k 5400 python scripts/bench_wan33k.py \
   --out_json docs/bench_wan33k.json
 
+# 2d) PFDiff solver e2e throughput on the real chip (quality A/B is in
+#     docs/RESULTS.md from the CPU run; this records the TPU samples/s)
+run_step pfdiff_e2e 2400 python -m interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
+  --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz \
+  --num_batches 8 --batch 64 --stage1_solver pfdiff --save_plots 0 \
+  --out_dir runs/tpu_rundown/pfdiff_e2e
+
 # 3) D4RL T=128 unified at the reference's winning recipe, on the fixed
 #    kp_feat path AND the fixed velocity scaling (VERDICT item 3). Fresh
 #    OUT; only the raw episode synthesis (ep_*.npz, the slow CPU stage) is

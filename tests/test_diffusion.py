@@ -108,3 +108,73 @@ def test_ddim_sample_scan_runs_and_respects_keep_mask():
     )(jax.random.PRNGKey(0))
     assert out.shape == (B, T, D)
     np.testing.assert_allclose(np.asarray(out[:, 0]), 0.0)
+
+
+def test_pfdiff_exact_match_for_static_eps():
+    """DDIM is transitive in its x0 parameterization, so with an eps that
+    doesn't depend on (x, t) the PFDiff springboard/foresight scan must
+    reproduce plain DDIM on the same grid exactly — even and odd interval
+    counts both."""
+    from interpolated_diffusion_tpu.ops.ddpm import ddim_scan, pfdiff_scan
+
+    schedule = _sched(100)
+    B, T, D = 2, 6, 2
+    eps_const = jax.random.normal(jax.random.PRNGKey(1), (B, T, D))
+    z0 = jax.random.normal(jax.random.PRNGKey(2), (B, T, D))
+
+    for steps in (6, 7):  # even + odd interval counts
+        times = jnp.asarray(make_timesteps(100, steps))
+        fn = lambda z, t: eps_const
+        z_ddim, _ = jax.jit(lambda z: ddim_scan(fn, z, times, schedule))(z0)
+        z_pf, _ = jax.jit(lambda z: pfdiff_scan(fn, z, times, schedule))(z0)
+        np.testing.assert_allclose(np.asarray(z_pf), np.asarray(z_ddim),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pfdiff_nonlinear_close_to_ddim():
+    """With a smooth state-dependent eps, PFDiff at the same grid should
+    land near the full-NFE DDIM trajectory (it halves the model evals)."""
+    from interpolated_diffusion_tpu.ops.ddpm import ddim_scan, pfdiff_scan
+
+    schedule = _sched(100)
+    B, T, D = 2, 6, 2
+    w = jax.random.normal(jax.random.PRNGKey(3), (D, D)) * 0.3
+
+    def fn(z, t):
+        return jnp.tanh(z @ w) * 0.5
+
+    z0 = jax.random.normal(jax.random.PRNGKey(4), (B, T, D))
+    times = jnp.asarray(make_timesteps(100, 10))
+    z_ddim, _ = jax.jit(lambda z: ddim_scan(fn, z, times, schedule))(z0)
+    z_pf, _ = jax.jit(lambda z: pfdiff_scan(fn, z, times, schedule))(z0)
+    assert np.isfinite(np.asarray(z_pf)).all()
+    ref = np.abs(np.asarray(z_ddim)).mean() + 1e-6
+    gap = np.abs(np.asarray(z_pf) - np.asarray(z_ddim)).mean() / ref
+    assert gap < 0.15, f"pfdiff drifted {gap:.3f} from ddim"
+
+
+def test_pfdiff_counts_model_evals():
+    """NFE must be 1 + ceil((S-1)/2): the whole point of the method."""
+    from interpolated_diffusion_tpu.ops.ddpm import pfdiff_scan
+
+    schedule = _sched(100)
+    B, T, D = 1, 4, 2
+    z0 = jnp.zeros((B, T, D))
+
+    for steps in (6, 7):
+        times = jnp.asarray(make_timesteps(100, steps))
+        n_int = int(times.shape[0]) - 1
+        expect = 1 + -(-(n_int - 1) // 2)     # 1 + ceil((S-1)/2)
+        calls = []
+
+        def fn(z, t):
+            calls.append(1)   # traced once per distinct eval site
+            return z * 0.1
+
+        pfdiff_scan(fn, z0, times, schedule)
+        # scan traces its body once; count = warmup + scan-body + odd tail
+        n_groups = (n_int - 1) // 2
+        traced = 1 + (1 if n_groups else 0) + (1 if (n_int - 1) % 2 else 0)
+        assert len(calls) == traced
+        nfe = 1 + n_groups + ((n_int - 1) % 2)
+        assert nfe == expect, (steps, n_int, nfe, expect)
