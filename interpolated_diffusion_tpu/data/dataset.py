@@ -199,20 +199,32 @@ class BatchLoader:
         seed: int = 0,
         prefetch: int = 2,
         drop_last: bool = True,
+        start_batch: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.start_batch = int(start_batch)
+        self.batches_drawn = self.start_batch   # checkpointable position
+
+    @property
+    def state(self):
+        """JSON-able resume marker; pass back as start_batch."""
+        return {"batches": self.batches_drawn}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(self.seed)
         n = len(self.dataset)
+        # fast-forward: replay only the index draws, not the batch builds
+        for _ in range(self.start_batch):
+            rng.randint(0, n, size=self.batch_size)
 
         def gen():
             while True:
                 idx = rng.randint(0, n, size=self.batch_size)
+                self.batches_drawn += 1
                 yield self.dataset.get_batch(idx)
 
         if self.prefetch <= 0:

@@ -167,34 +167,85 @@ class WanSynthTarDataset:
                 )
             yield from stream
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        rng = np.random.RandomState(self.seed)
+    def epoch_iter(self, epoch: int = 0,
+                   skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """One deterministic epoch: shard order and shuffle-buffer draws are
+        fully determined by (seed, epoch) — epochs reshuffle, and a resumed
+        run replays the identical emission order. `skip` consumes and
+        discards the first `skip` EMITTED samples (exact mid-epoch resume:
+        decode-only fast-forward, no model work)."""
+        rng = np.random.RandomState(self.seed + epoch)
         shards = list(self.shards)
         if self.shuffle_shards:
             rng.shuffle(shards)
-        buf: List[Dict] = []
-        for sample in self._stream(shards):
-            if "latents" in sample:
-                sample["latents"] = _maybe_transpose_latents(
-                    np.asarray(sample["latents"]), self.T
-                )
-            if self.shuffle_buffer <= 1:
-                yield sample
-                continue
-            buf.append(sample)
-            if len(buf) >= self.shuffle_buffer:
-                i = rng.randint(len(buf))
-                buf[i], buf[-1] = buf[-1], buf[i]
-                yield buf.pop()
-        rng.shuffle(buf)
-        yield from buf
 
-    def batches(self, batch_size: int) -> Iterator[Dict[str, np.ndarray]]:
-        items: List[Dict] = []
+        def emit():
+            buf: List[Dict] = []
+            for sample in self._stream(shards):
+                if "latents" in sample:
+                    sample["latents"] = _maybe_transpose_latents(
+                        np.asarray(sample["latents"]), self.T
+                    )
+                if self.shuffle_buffer <= 1:
+                    yield sample
+                    continue
+                buf.append(sample)
+                if len(buf) >= self.shuffle_buffer:
+                    i = rng.randint(len(buf))
+                    buf[i], buf[-1] = buf[-1], buf[i]
+                    yield buf.pop()
+            rng.shuffle(buf)
+            yield from buf
+
+        it = emit()
+        for _ in range(skip):
+            try:
+                next(it)
+            except StopIteration:
+                return
+        yield from it
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.epoch_iter(0)
+
+    def batches(self, batch_size: int,
+                state: Optional[Dict] = None) -> "_TarBatchIterator":
+        """Infinite batch iterator with checkpointable position.
+
+        `iterator.state` is a JSON-able {"epoch", "offset"} marker; passing
+        it back as `state` resumes the stream exactly where it left off
+        (same emission order — epoch_iter is deterministic). Tail samples
+        that don't fill a batch are dropped at each epoch boundary so the
+        offset marker always lands on a batch edge."""
+        return _TarBatchIterator(self, batch_size, state)
+
+
+class _TarBatchIterator:
+    def __init__(self, ds: "WanSynthTarDataset", batch_size: int,
+                 state: Optional[Dict] = None):
+        self.ds, self.batch_size = ds, batch_size
+        st = state or {}
+        self.epoch = int(st.get("epoch", 0))
+        self.offset = int(st.get("offset", 0))   # samples consumed in epoch
+        self._gen = self._run()
+
+    @property
+    def state(self) -> Dict[str, int]:
+        """Position of the NEXT batch (safe to store in checkpoint meta)."""
+        return {"epoch": self.epoch, "offset": self.offset}
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        return next(self._gen)
+
+    def _run(self):
         while True:
-            for sample in self:
+            items: List[Dict] = []
+            for sample in self.ds.epoch_iter(self.epoch, skip=self.offset):
                 items.append(sample)
-                if len(items) == batch_size:
+                if len(items) == self.batch_size:
                     out = {
                         k: np.stack([it[k] for it in items])
                         for k in items[0]
@@ -204,9 +255,14 @@ class WanSynthTarDataset:
                     # plain-list passthrough for sample triage (diagnostics);
                     # consumers device-put by explicit array key, so this
                     # never reaches jit
-                    out["__keys__"] = [str(it.get("__key__", "")) for it in items]
+                    out["__keys__"] = [str(it.get("__key__", ""))
+                                       for it in items]
+                    self.offset += self.batch_size
                     yield out
                     items = []
+            # epoch exhausted: drop the partial tail, advance deterministically
+            self.epoch += 1
+            self.offset = 0
 
 
 class SyntheticWanDataset:

@@ -94,7 +94,20 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    loader = make_wansynth_loader(args, args.seed)
+    # resolve the resume checkpoint FIRST: its meta carries the data-stream
+    # position, so a preempted run resumes mid-epoch instead of replaying
+    # the stream from the top
+    resume_path = None
+    data_state = None
+    if args.resume:
+        resume_path = (args.resume
+                       if os.path.exists(os.path.join(args.resume, "meta.json"))
+                       else latest_checkpoint(args.resume))
+        if resume_path:
+            from ..utils.checkpoint import read_meta as _read_meta
+
+            data_state = (_read_meta(resume_path)[1] or {}).get("data_state")
+    loader = make_wansynth_loader(args, args.seed, state=data_state)
     schedule = make_schedule(args.schedule, args.N_train)
     T = args.T
     use_wan = bool(args.use_wan)
@@ -226,8 +239,7 @@ def main(argv=None):
     state = init_train_state(trainable, tx, use_ema=bool(args.use_ema))
     start_step = 0
     if args.resume:
-        path = (args.resume if os.path.exists(os.path.join(args.resume, "meta.json"))
-                else latest_checkpoint(args.resume))
+        path = resume_path
         if path:
             from ..utils.checkpoint import read_meta as _read_meta
             check_wan_meta(_read_meta(path)[1] or {})
@@ -309,16 +321,22 @@ def main(argv=None):
                 if base is not None:
                     to_save["wan_base"] = base
                 ckpt_dir = os.path.join(args.out_dir, f"ckpt_{step + 1}")
+                # data-stream position rides in meta so --resume continues
+                # the stream mid-epoch (may overshoot by the prefetch depth
+                # — resume skips, never repeats, those batches)
+                save_meta = dict(meta)
+                if getattr(loader, "state", None) is not None:
+                    save_meta["data_state"] = loader.state
                 if args.ckpt_async:
                     from ..utils.checkpoint_sharded import (
                         save_checkpoint_sharded,
                     )
                     save_checkpoint_sharded(
                         ckpt_dir, to_save, None, step + 1, state.ema_params,
-                        meta, async_save=True)
+                        save_meta, async_save=True)
                 else:
                     save_checkpoint(ckpt_dir, to_save, None, step + 1,
-                                    state.ema_params, meta)
+                                    state.ema_params, save_meta)
     if args.ckpt_async:
         from ..utils.checkpoint_sharded import wait_for_async_saves
 

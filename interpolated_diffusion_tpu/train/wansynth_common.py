@@ -79,7 +79,31 @@ def add_wan_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--patch_size", type=int, default=2)
 
 
-def make_wansynth_loader(args, seed: int):
+class _StatefulIter:
+    """next()-able view of a BatchLoader that exposes its resume marker."""
+
+    def __init__(self, loader):
+        self._loader = loader
+        self._it = iter(loader)
+
+    @property
+    def state(self):
+        return self._loader.state
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return next(self._it)
+
+
+def make_wansynth_loader(args, seed: int, state: Optional[dict] = None):
+    """Build the streaming batch loader; `state` (a previous loader's
+    `.state`) resumes the data stream where a checkpoint left it. Both
+    returned iterator kinds expose `.state` (JSON-able) for checkpoint meta.
+    With the device prefetcher in front, the marker can run ahead of the
+    consumed position by the prefetch depth — resume then skips (never
+    repeats) at most that many batches."""
     from ..parallel.multihost import maybe_initialize_distributed
 
     # pod-scale runs: wire the processes into one logical runtime before any
@@ -91,7 +115,7 @@ def make_wansynth_loader(args, seed: int):
             raise ValueError("--data_root required for --data tar")
         ds = WanSynthTarDataset(args.data_root, T=args.T, seed=seed,
                                 anchors_root=args.anchors_root)
-        return ds.batches(args.batch)
+        return ds.batches(args.batch, state=state)
     if getattr(args, "anchors_root", None):
         raise ValueError(
             "--anchors_root joins are defined over tar shards; with synthetic "
@@ -104,7 +128,9 @@ def make_wansynth_loader(args, seed: int):
         H=args.latent_h, W=args.latent_w, text_len=args.text_len,
         text_dim=args.text_dim, seed=seed,
     )
-    return iter(BatchLoader(ds, batch_size=args.batch, seed=seed))
+    return _StatefulIter(BatchLoader(
+        ds, batch_size=args.batch, seed=seed,
+        start_batch=int((state or {}).get("batches", 0))))
 
 
 def _lora_form(args) -> str:

@@ -303,3 +303,70 @@ def test_phase1_trainer_async_sharded_ckpt(tmp_path):
 
     leaves = jax.tree_util.tree_leaves(payload["params"])
     assert leaves and all(l.size > 0 for l in leaves)
+
+
+def test_tar_batches_resume_state(tmp_path):
+    """iterator.state checkpoints the stream position: a fresh iterator
+    restored from it replays the exact same remaining batches, and epochs
+    reshuffle deterministically (seed + epoch)."""
+    import os
+
+    import numpy as np
+
+    from interpolated_diffusion_tpu.data.wan_synth import (
+        WanSynthTarDataset, write_tar_shard,
+    )
+
+    root = str(tmp_path / "shards")
+    for s in range(2):
+        write_tar_shard(
+            os.path.join(root, f"shard_{s:05d}.tar"),
+            [{"__key__": f"{s}_{i:04d}",
+              "latents": np.full((3, 2, 4, 4), 10 * s + i, np.float32)}
+             for i in range(6)])
+
+    def mk(state=None):
+        ds = WanSynthTarDataset(root, T=3, shuffle_buffer=4, seed=7,
+                                process_split=False)
+        return ds.batches(3, state=state)
+
+    it = mk()
+    ref = [next(it) for _ in range(5)]          # 12 samples/epoch → 4/epoch
+    mid_state = None
+    it2 = mk()
+    for i in range(2):
+        next(it2)
+    mid_state = it2.state
+    it3 = mk(state=mid_state)
+    for i in range(2, 5):
+        got = next(it3)
+        np.testing.assert_array_equal(got["latents"], ref[i]["latents"])
+        assert got["__keys__"] == ref[i]["__keys__"]
+
+    # epochs must NOT repeat the same order (per-epoch reshuffle)
+    ds = WanSynthTarDataset(root, T=3, shuffle_buffer=4, seed=7,
+                            process_split=False)
+    order0 = [s["__key__"] for s in ds.epoch_iter(0)]
+    order1 = [s["__key__"] for s in ds.epoch_iter(1)]
+    assert sorted(order0) == sorted(order1)
+    assert order0 != order1
+
+
+def test_synthetic_loader_resume_state():
+    import numpy as np
+
+    from interpolated_diffusion_tpu.data.dataset import BatchLoader
+    from interpolated_diffusion_tpu.data.wan_synth import SyntheticWanDataset
+
+    ds = SyntheticWanDataset(n_samples=16, T=3, C=2, H=4, W=4,
+                             text_len=2, text_dim=8, seed=0)
+    a = BatchLoader(ds, 4, seed=5, prefetch=0)
+    ita = iter(a)
+    ref = [next(ita) for _ in range(4)]
+    assert a.state == {"batches": 4}
+
+    b = BatchLoader(ds, 4, seed=5, prefetch=0, start_batch=2)
+    itb = iter(b)
+    for i in range(2, 4):
+        np.testing.assert_array_equal(next(itb)["latents"],
+                                      ref[i]["latents"])
