@@ -53,9 +53,31 @@ def build_argparser() -> argparse.ArgumentParser:
                         "sampling (e.g. sage_sla for the fastest precompute "
                         "— attention weights are mode-agnostic)")
     p.add_argument("--sla_topk", type=float, default=None)
+    p.add_argument("--sla_topk_schedule", type=str, default="",
+                   help="timestep-adaptive sparsity (arXiv 2603.19939 "
+                        "spirit): 'frac:topk,frac:topk' — e.g. "
+                        "'0.5:0.05,1.0:0.1' runs the first half of the "
+                        "(high-noise) DDIM steps at topk 0.05 and the rest "
+                        "at 0.1. One compiled scan per segment; sla/"
+                        "sage_sla + use_wan only")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", type=int, default=1)
     return p
+
+
+def parse_topk_schedule(spec: str):
+    """'0.5:0.05,1.0:0.1' → [(0.5, 0.05), (1.0, 0.1)] (validated)."""
+    if not spec:
+        return None
+    segs = []
+    for part in spec.split(","):
+        frac, tk = part.split(":")
+        segs.append((float(frac), float(tk)))
+    if any(b[0] <= a[0] for a, b in zip(segs, segs[1:])):
+        raise ValueError(f"schedule fractions must increase: {spec}")
+    if abs(segs[-1][0] - 1.0) > 1e-6:
+        raise ValueError(f"schedule must end at frac 1.0: {spec}")
+    return segs
 
 
 def main(argv=None):
@@ -119,26 +141,50 @@ def main(argv=None):
         trainable = {k: v for k, v in payload["params"].items() if k != "wan_base"}
         base_params = payload["params"].get("wan_base", base_params)
 
-        def eps_fn(z_t_tokens, t, idx, text, blocks_delta=None,
-                   return_delta=False):
-            extra = None
-            if meta["frame_cond"]:
-                B = z_t_tokens.shape[0]
-                mask = jnp.zeros((B, T), dtype=bool).at[
-                    jnp.arange(B)[:, None], idx].set(True)
-                feat = jnp.take_along_axis(
-                    frame_features_from_mask(mask), idx[..., None], axis=1)
-                extra = fc_module.apply({"params": trainable["frame_cond"]}, feat)
-            wparams = merged_wan_params(trainable, base_params, a)
-            lat_in = jnp.transpose(unpatchify_tokens(z_t_tokens, p_sz, spatial),
-                                   (0, 2, 1, 3, 4))
-            pred = wan.apply({"params": wparams}, lat_in, t, text, idx, extra,
-                             blocks_delta=blocks_delta,
-                             return_delta=return_delta)
-            if return_delta:
-                pred, delta = pred
-            out, _ = patchify_latents(jnp.transpose(pred, (0, 2, 1, 3, 4)), p_sz)
-            return (out, delta) if return_delta else out
+        def make_eps(wan_model):
+            def eps_fn(z_t_tokens, t, idx, text, blocks_delta=None,
+                       return_delta=False):
+                extra = None
+                if meta["frame_cond"]:
+                    B = z_t_tokens.shape[0]
+                    mask = jnp.zeros((B, T), dtype=bool).at[
+                        jnp.arange(B)[:, None], idx].set(True)
+                    feat = jnp.take_along_axis(
+                        frame_features_from_mask(mask), idx[..., None], axis=1)
+                    extra = fc_module.apply(
+                        {"params": trainable["frame_cond"]}, feat)
+                wparams = merged_wan_params(trainable, base_params, a)
+                lat_in = jnp.transpose(
+                    unpatchify_tokens(z_t_tokens, p_sz, spatial),
+                    (0, 2, 1, 3, 4))
+                pred = wan_model.apply(
+                    {"params": wparams}, lat_in, t, text, idx, extra,
+                    blocks_delta=blocks_delta, return_delta=return_delta)
+                if return_delta:
+                    pred, delta = pred
+                out, _ = patchify_latents(
+                    jnp.transpose(pred, (0, 2, 1, 3, 4)), p_sz)
+                return (out, delta) if return_delta else out
+
+            return eps_fn
+
+        eps_fn = make_eps(wan)
+        # timestep-adaptive sparsity: one model VARIANT per topk value — the
+        # params are identical (topk is a module attribute, not a weight),
+        # only the compiled LUT width changes per segment
+        topk_schedule = parse_topk_schedule(args.sla_topk_schedule)
+        seg_eps = None
+        if topk_schedule:
+            if a.attn_mode not in ("sla", "sage_sla"):
+                raise ValueError("--sla_topk_schedule needs attn_mode "
+                                 "sla/sage_sla")
+            seg_eps = []
+            for frac, tk in topk_schedule:
+                a_i = _A()
+                for k_ in vars(a):
+                    setattr(a_i, k_, getattr(a, k_))
+                a_i.sla_topk = tk
+                seg_eps.append((frac, make_eps(build_wan(a_i, bool(args.bf16)))))
 
         # wan-internal token count/dim for the cached block residual (NOT the
         # outer meta["patch_size"] token patching — this is WanDiT's own)
@@ -163,6 +209,10 @@ def main(argv=None):
             return tok_model.apply({"params": params}, z_t_tokens, t, idx,
                                    {"text_embed": text}, T, spatial)
 
+        seg_eps = None
+        if args.sla_topk_schedule:
+            raise ValueError("--sla_topk_schedule needs a use_wan checkpoint")
+
     interval = max(1, int(args.cache_interval))
     if interval > 1 and not meta.get("use_wan"):
         raise ValueError("--cache_interval > 1 needs a use_wan checkpoint "
@@ -171,27 +221,45 @@ def main(argv=None):
         raise ValueError("--solver pfdiff and --cache_interval > 1 both "
                          "substitute model evals — pick one")
 
+    # segment the timestep grid: [(seg_times, eps_fn)] — one entry (the whole
+    # grid) without a schedule; contiguous overlapping slices per topk with
+    # one. Each segment is a separate statically-shaped scan in the SAME jit.
+    S_int = int(times.shape[0]) - 1
+    if seg_eps:
+        bounds, prev = [], 0
+        for frac, fn in seg_eps:
+            hi = min(S_int, max(prev, round(frac * S_int)))
+            if hi > prev:
+                bounds.append((prev, hi, fn))
+            prev = hi
+        segments = [(times[lo:hi + 1], fn) for lo, hi, fn in bounds]
+    else:
+        segments = [(times, eps_fn)]
+
     @jax.jit
     def sample_anchors(key, idx, text):
         B = idx.shape[0]
         z = jax.random.normal(key, (B, K, N, D_tok))
 
-        def scan_eps(z, t_b, blocks_delta=None, return_delta=False):
-            return eps_fn(z.astype(jnp.float32), t_b, idx, text,
-                          blocks_delta, return_delta) if meta.get("use_wan") \
-                else eps_fn(z.astype(jnp.float32), t_b, idx, text)
+        for seg_times, seg_fn in segments:
+            def scan_eps(z, t_b, blocks_delta=None, return_delta=False,
+                         _fn=seg_fn):
+                return _fn(z.astype(jnp.float32), t_b, idx, text,
+                           blocks_delta, return_delta) \
+                    if meta.get("use_wan") \
+                    else _fn(z.astype(jnp.float32), t_b, idx, text)
 
-        if args.solver == "pfdiff":
-            from ..ops.ddpm import pfdiff_scan
+            if args.solver == "pfdiff":
+                from ..ops.ddpm import pfdiff_scan
 
-            z, _ = pfdiff_scan(scan_eps, z, times, schedule)
-        else:
-            delta0 = None
-            if interval > 1:
-                dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
-                delta0 = jnp.zeros((B, *cache_shape), dt_)
-            z, _ = ddim_scan(scan_eps, z, times, schedule,
-                             cache_interval=interval, delta0=delta0)
+                z, _ = pfdiff_scan(scan_eps, z, seg_times, schedule)
+            else:
+                delta0 = None
+                if interval > 1:
+                    dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
+                    delta0 = jnp.zeros((B, *cache_shape), dt_)
+                z, _ = ddim_scan(scan_eps, z, seg_times, schedule,
+                                 cache_interval=interval, delta0=delta0)
         return unpatchify_tokens(z, p_sz, spatial)   # [B,K,C,H,W]
 
     # Output shards MIRROR the source shard basenames: the trainer-side

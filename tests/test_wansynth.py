@@ -370,3 +370,46 @@ def test_synthetic_loader_resume_state():
     for i in range(2, 4):
         np.testing.assert_array_equal(next(itb)["latents"],
                                       ref[i]["latents"])
+
+
+def test_anchor_precompute_topk_schedule(tmp_path):
+    """Timestep-adaptive SLA sparsity: the anchor precompute runs sparser
+    early (high-noise) segments and denser late ones — one statically-shaped
+    scan per segment, same weights across variants."""
+    import numpy as np
+    import pytest
+
+    from interpolated_diffusion_tpu.data.precompute_phase1_anchors import (
+        main as pre_main, parse_topk_schedule,
+    )
+    from interpolated_diffusion_tpu.train.train_keypoints_wansynth import (
+        main as p1_main,
+    )
+
+    assert parse_topk_schedule("") is None
+    assert parse_topk_schedule("0.5:0.25,1.0:0.5") == [(0.5, 0.25), (1.0, 0.5)]
+    with pytest.raises(ValueError):
+        parse_topk_schedule("0.5:0.1,0.4:0.2")       # non-increasing
+    with pytest.raises(ValueError):
+        parse_topk_schedule("0.5:0.1")               # doesn't end at 1.0
+
+    out = str(tmp_path / "p1sla")
+    p1_main(["--num_samples", "8", "--T", "9", "--latent_c", "4",
+             "--latent_h", "8", "--latent_w", "8", "--text_len", "8",
+             "--text_dim", "64", "--wan_dim", "64", "--wan_layers", "2",
+             "--wan_heads", "2", "--wan_ffn", "128", "--attn_mode", "sla",
+             "--sla_topk", "0.5", "--use_remat", "0", "--batch", "2",
+             "--steps", "2", "--save_every", "2", "--log_every", "1",
+             "--bf16", "0", "--K", "3", "--N_train", "20",
+             "--lora_rank", "0", "--out_dir", out])
+    anch = str(tmp_path / "anch")
+    pre_main(["--ckpt", out + "/ckpt_2", "--out_root", anch,
+              "--num_samples", "2", "--batch", "2", "--ddim_steps", "6",
+              "--sla_topk_schedule", "0.5:0.25,1.0:0.5", "--bf16", "0"])
+    import io
+    import tarfile
+
+    with tarfile.open(anch + "/anchors_00000.tar") as tf:
+        m = [x for x in tf.getmembers() if x.name.endswith("anchors.npy")][0]
+        a = np.load(io.BytesIO(tf.extractfile(m).read()))
+    assert a.shape == (3, 4, 8, 8) and np.isfinite(a).all()
