@@ -43,6 +43,7 @@ def make_causal_pipeline(
     clamp_endpoints: bool, clamp_policy: str, clamp_dims: str,
     recompute_vel: bool, mask_channels: int = 1, collect_chunks: bool = False,
     kp_feat_dim: int = 0, dphi_fn=None, stage1_cache_interval: int = 1,
+    stage1_solver: str = "ddim",
     stage1_best_of: int = 1, stage1_best_of_mode: str = "set",
 ):
     """Returns pipeline(kp_params, interp_params, key, cond) -> x_gen [B,T,D]
@@ -73,12 +74,22 @@ def make_causal_pipeline(
             return kp_model.apply({"params": kp_params}, z, t_b, idx,
                                   known_mask, cond, local_T, **cache_kw)
 
-        z, _ = ddim_scan(
-            eps_fn, z, times, kp_schedule,
-            post=lambda z: jnp.where(known_mask, known_values, z),
-            cache_interval=stage1_cache_interval,
-            delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
-        )
+        post = lambda z: jnp.where(known_mask, known_values, z)
+        if stage1_solver == "pfdiff":
+            if stage1_cache_interval > 1:
+                raise ValueError("--stage1_solver pfdiff and "
+                                 "--stage1_cache_interval > 1 both "
+                                 "substitute model evals — pick one")
+            from ..ops.ddpm import pfdiff_scan
+
+            z, _ = pfdiff_scan(eps_fn, z, times, kp_schedule, post=post)
+        else:
+            z, _ = ddim_scan(
+                eps_fn, z, times, kp_schedule,
+                post=post,
+                cache_interval=stage1_cache_interval,
+                delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
+            )
         if logit_space:
             z = sigmoid_pos(z)
         return z
@@ -257,6 +268,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--stage1_cache_interval", type=int, default=1,
                    help="FORA-style transformer caching in each chunk's "
                         "DDIM scan (1 = exact)")
+    p.add_argument("--stage1_solver", type=str, default="ddim",
+                   choices=["ddim", "pfdiff"],
+                   help="pfdiff: past-score springboard per chunk — ~half "
+                        "the model evals on the same grid")
     p.add_argument("--stage1_best_of", type=int, default=1,
                    help="per-chunk best-of-N anchor search (collision-"
                         "scored; see sample/generate.py)")
@@ -311,6 +326,7 @@ def main(argv=None):
                      if kp_meta.get("use_kp_feat") else 0),
         dphi_fn=dphi_fn,
         stage1_cache_interval=args.stage1_cache_interval,
+        stage1_solver=args.stage1_solver,
         stage1_best_of=args.stage1_best_of,
         stage1_best_of_mode=args.stage1_best_of_mode,
     ))

@@ -33,6 +33,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_batches", type=int, default=2)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--ddim_steps", type=int, default=20)
+    p.add_argument("--solver", type=str, default="ddim",
+                   choices=["ddim", "pfdiff"],
+                   help="pfdiff: past-score springboard — ~half the model "
+                        "evals on the same timestep grid")
     p.add_argument("--time_spacing", type=str, default="quadratic",
                    choices=["linear", "quadratic", "sqrt"],
                    help="DDIM spacing (reference sample_keypoints.py:32 "
@@ -99,7 +103,12 @@ def main(argv=None):
                 z = z.at[..., :2].set(jnp.clip(z[..., :2], 0.0, 1.0))
             return z
 
-        z, _ = ddim_scan(eps_fn, z, times, schedule, post=post)
+        if args.solver == "pfdiff":
+            from ..ops.ddpm import pfdiff_scan
+
+            z, _ = pfdiff_scan(eps_fn, z, times, schedule, post=post)
+        else:
+            z, _ = ddim_scan(eps_fn, z, times, schedule, post=post)
         if logit_space:
             z = sigmoid_pos(z)
         x = interpolate_from_indices(idx, z, T)

@@ -87,6 +87,17 @@ def test_generate_causal_pipeline(tmp_run):
         "--out_dir", str(tmp_run / "gen_causal_fora"),
     ])
     assert np.isfinite(summary2["collision_rate"])
+    # PFDiff chunk solver runs end-to-end too
+    summary3 = main([
+        "--kp_ckpt", str(tmp_run / "kp" / "ckpt_6"),
+        "--interp_ckpt", str(tmp_run / "il_causal" / "ckpt_2"),
+        "--chunk", "8", "--K_min", "3", "--ddim_steps", "4",
+        "--stage1_solver", "pfdiff",
+        "--num_batches", "1", "--batch", "4", "--num_samples", "64",
+        "--maze_h", "9", "--maze_w", "9", "--bf16", "0",
+        "--out_dir", str(tmp_run / "gen_causal_pfdiff"),
+    ])
+    assert np.isfinite(summary3["collision_rate"])
 
 
 def test_generate_pipeline_and_metrics(tmp_run):
