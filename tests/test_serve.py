@@ -89,3 +89,22 @@ def test_http_server_coalesces_concurrent_requests(service):
     finally:
         server.shutdown()
         batcher.running = False
+
+
+def test_client_roundtrip(service):
+    from interpolated_diffusion_tpu.serve.client import GenerationClient
+    from interpolated_diffusion_tpu.serve.server import serve
+
+    server, batcher = serve(service, "127.0.0.1", 0, linger_s=0.01)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = GenerationClient("127.0.0.1", port)
+        assert c.health()["ok"]
+        out = c.generate([[0.15, 0.15, 0.85, 0.85]], seed=5)
+        assert out["refined"].shape == (1, service.T, service.data_dim)
+        assert out["idx"].shape == (1, service.K)
+    finally:
+        server.shutdown()
+        batcher.running = False
