@@ -19,7 +19,7 @@ import numpy as np
 
 from ..data.toy_video import MovingShapesVideoDataset, decode_latents
 from ..models.denoisers import InterpLevelDenoiser, KeypointDenoiser
-from ..ops.ddpm import ddim_step, make_timesteps
+from ..ops.ddpm import make_timesteps
 from ..ops.keyframes import (
     build_nested_masks_from_base,
     interpolate_from_indices,
@@ -74,6 +74,10 @@ def build_argparser():
     p.add_argument("--num_batches", type=int, default=2)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--ddim_steps", type=int, default=20)
+    p.add_argument("--solver", type=str, default="ddim",
+                   choices=["ddim", "pfdiff"],
+                   help="pfdiff: past-score springboard — ~half the Stage-1 "
+                        "model evals on the same timestep grid")
     p.add_argument("--num_samples", type=int, default=1000)
     p.add_argument("--sample_seed", type=int, default=1234)
     p.add_argument("--bf16", type=int, default=1)
@@ -106,15 +110,20 @@ def main(argv=None):
         known_values = jnp.where(known_mask, z_gt, 0.0)
         z = jax.random.normal(key, (B, K, data_dim))
         z = jnp.where(known_mask, known_values, z)
-        t_pairs = jnp.stack([times[:-1], times[1:]], axis=-1)
 
-        def body(z, pair):
-            t_b = jnp.full((B,), pair[0], dtype=jnp.int32)
-            eps = kp_model.apply({"params": kp_params}, z, t_b, idx, known_mask, {}, T)
-            z = ddim_step(z, eps, t_b, jnp.full((B,), pair[1], dtype=jnp.int32), schedule)
-            return jnp.where(known_mask, known_values, z), None
+        def eps_fn(z, t_b):
+            return kp_model.apply({"params": kp_params}, z, t_b, idx,
+                                  known_mask, {}, T)
 
-        z, _ = jax.lax.scan(body, z, t_pairs)
+        post = lambda z: jnp.where(known_mask, known_values, z)
+        if args.solver == "pfdiff":
+            from ..ops.ddpm import pfdiff_scan
+
+            z, _ = pfdiff_scan(eps_fn, z, times, schedule, post=post)
+        else:
+            from ..ops.ddpm import ddim_scan
+
+            z, _ = ddim_scan(eps_fn, z, times, schedule, post=post)
         return z
 
     def stage2(key, x, idx):
