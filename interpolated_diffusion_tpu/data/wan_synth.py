@@ -243,7 +243,9 @@ class _TarBatchIterator:
     def _run(self):
         while True:
             items: List[Dict] = []
+            seen = self.offset
             for sample in self.ds.epoch_iter(self.epoch, skip=self.offset):
+                seen += 1
                 items.append(sample)
                 if len(items) == self.batch_size:
                     out = {
@@ -261,6 +263,11 @@ class _TarBatchIterator:
                     yield out
                     items = []
             # epoch exhausted: drop the partial tail, advance deterministically
+            if self.offset == 0 and seen < self.batch_size:
+                raise ValueError(
+                    f"dataset yields only {seen} samples per epoch — smaller "
+                    f"than one batch ({self.batch_size}); shrink the batch "
+                    "or add shards")
             self.epoch += 1
             self.offset = 0
 

@@ -413,3 +413,22 @@ def test_anchor_precompute_topk_schedule(tmp_path):
         m = [x for x in tf.getmembers() if x.name.endswith("anchors.npy")][0]
         a = np.load(io.BytesIO(tf.extractfile(m).read()))
     assert a.shape == (3, 4, 8, 8) and np.isfinite(a).all()
+
+
+def test_tar_batches_raises_on_batch_larger_than_epoch(tmp_path):
+    import os
+
+    import numpy as np
+    import pytest
+
+    from interpolated_diffusion_tpu.data.wan_synth import (
+        WanSynthTarDataset, write_tar_shard,
+    )
+
+    root = str(tmp_path / "tiny")
+    write_tar_shard(os.path.join(root, "shard_00000.tar"),
+                    [{"__key__": "a",
+                      "latents": np.zeros((3, 2, 4, 4), np.float32)}])
+    ds = WanSynthTarDataset(root, T=3, process_split=False)
+    with pytest.raises(ValueError, match="smaller than one batch"):
+        next(ds.batches(4))
