@@ -186,7 +186,9 @@ def make_pipeline(
             )
         if cfg.logit_space:
             z = sigmoid_pos(z)
-            if cfg.collect_steps:
+            # z_steps can be None under pfdiff with a 1-2 interval grid
+            # (no springboard groups to collect)
+            if cfg.collect_steps and z_steps is not None:
                 z_steps = sigmoid_pos(z_steps)
         return (z, z_steps) if cfg.collect_steps else z
 
