@@ -217,7 +217,11 @@ class BatchLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.RandomState(self.seed)
         n = len(self.dataset)
-        # fast-forward: replay only the index draws, not the batch builds
+        # fast-forward: replay only the index draws, not the batch builds.
+        # Each __iter__ restarts the rng from start_batch, so the position
+        # marker must restart with it (a second iter() otherwise desyncs
+        # .state from the actual stream position)
+        self.batches_drawn = self.start_batch
         for _ in range(self.start_batch):
             rng.randint(0, n, size=self.batch_size)
 

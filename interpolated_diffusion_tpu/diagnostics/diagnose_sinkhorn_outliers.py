@@ -43,20 +43,6 @@ CASE_FIELDS = (
 )
 
 
-def _build_model(meta: dict) -> SinkhornWarpInterpolator:
-    return SinkhornWarpInterpolator(
-        in_channels=int(meta["in_channels"]),
-        patch_size=int(meta["patch_size"]),
-        win_size=int(meta["win_size"]),
-        global_mode=str(meta["global_mode"]),
-        sinkhorn_iters=int(meta["sinkhorn_iters"]),
-        learn_tau=bool(meta["learn_tau"]),
-        learn_dustbin=bool(meta["learn_dustbin"]),
-        fb_sigma=float(meta["fb_sigma"]),
-        d_match=int(meta["d_match"]),
-    )
-
-
 def main(argv=None):
     p = argparse.ArgumentParser("diagnose_sinkhorn_outliers")
     p.add_argument("--ckpt", type=str, required=True,
@@ -75,7 +61,7 @@ def main(argv=None):
 
     from ..utils.checkpoint import read_meta
     _, meta = read_meta(args.ckpt)
-    model = _build_model(meta)
+    model = SinkhornWarpInterpolator.from_meta(meta)
     C = int(meta["in_channels"])
     lat0 = jnp.zeros((1, 3, C, args.latent_h, args.latent_w), jnp.float32)
     idx0 = jnp.asarray([[0, 2]], jnp.int32)

@@ -99,14 +99,7 @@ def main(argv=None):
         elif args.interpolator == "sinkhorn":
             from ..models.sinkhorn_warp import SinkhornWarpInterpolator
 
-            model = SinkhornWarpInterpolator(
-                in_channels=meta["in_channels"], patch_size=meta["patch_size"],
-                win_size=meta["win_size"], global_mode=meta["global_mode"],
-                sinkhorn_iters=meta["sinkhorn_iters"],
-                learn_tau=bool(meta["learn_tau"]),
-                learn_dustbin=bool(meta["learn_dustbin"]),
-                fb_sigma=meta["fb_sigma"], d_match=meta["d_match"],
-            )
+            model = SinkhornWarpInterpolator.from_meta(meta)
         lat0 = jnp.zeros((1, args.T, args.latent_c, args.latent_h, args.latent_w))
         idx0, _ = sample_fixed_k_indices_batch(jax.random.PRNGKey(0), 1, args.T, args.K)
         tmpl = model.init(jax.random.PRNGKey(0), lat0, idx0)["params"]

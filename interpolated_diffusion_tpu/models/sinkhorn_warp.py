@@ -127,6 +127,27 @@ class SinkhornWarpInterpolator(nn.Module):
         return jnp.asarray(self.dustbin_logit, jnp.float32)
 
     # -- token features ------------------------------------------------------
+    @classmethod
+    def from_meta(cls, meta: dict,
+                  in_channels: int | None = None) -> "SinkhornWarpInterpolator":
+        """Rebuild from checkpoint meta — the ONE reconstruction used by
+        eval/diagnostics/teachers, so every field the trainer configures
+        round-trips (tau/dustbin defaults only apply to pre-stamp ckpts)."""
+        return cls(
+            in_channels=int(in_channels if in_channels is not None
+                            else meta["in_channels"]),
+            patch_size=int(meta["patch_size"]),
+            win_size=int(meta["win_size"]),
+            global_mode=str(meta["global_mode"]),
+            sinkhorn_iters=int(meta["sinkhorn_iters"]),
+            sinkhorn_tau=float(meta.get("sinkhorn_tau", 0.05)),
+            dustbin_logit=float(meta.get("dustbin_logit", -2.0)),
+            learn_tau=bool(meta["learn_tau"]),
+            learn_dustbin=bool(meta["learn_dustbin"]),
+            fb_sigma=float(meta["fb_sigma"]),
+            d_match=int(meta["d_match"]),
+        )
+
     def token_features(self, z: jnp.ndarray, assume_straightened: bool = False):
         """z [B,C,H,W] → (L2-normalized tokens [B,Hp,Wp,Dm], hp, wp)."""
         if self.straightener is not None and not assume_straightened:

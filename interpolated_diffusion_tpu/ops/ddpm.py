@@ -323,7 +323,10 @@ def pfdiff_scan(
         def body(carry, tri):
             z, eps_past = carry
             t_i, t_mid, t_next = tri[0], tri[1], tri[2]
-            z_mid = ddim_step(z, eps_past, tb(t_i), tb(t_mid), schedule)
+            # post() on the springboard state too: ddim_scan applies post
+            # before every model eval (known-value clamping / pos clipping),
+            # and the denoiser must see the same invariant here
+            z_mid = post(ddim_step(z, eps_past, tb(t_i), tb(t_mid), schedule))
             eps_mid = eps_fn(z_mid, tb(t_mid))
             z = post(ddim_step(z, eps_mid, tb(t_i), tb(t_next), schedule))
             return (z, eps_mid), (z if collect else None)

@@ -57,7 +57,11 @@ class RequestBatcher(threading.Thread):
         self.q.put(pending)
 
     def _grid_key(self, p: _Pending):
-        return None if p.occ is None else p.occ.shape[-2:]
+        # requests only share a dispatch when their conditioning composes:
+        # same occ shape (or both server-default), same sdf presence, same
+        # seed (one PRNGKey per dispatch)
+        return (None if p.occ is None else p.occ.shape[-2:],
+                p.sdf is not None, p.seed)
 
     def run(self) -> None:
         while self.running:
@@ -76,9 +80,10 @@ class RequestBatcher(threading.Thread):
                     nxt = self.q.get(timeout=max(0.0, deadline - time.time()))
                 except queue.Empty:
                     break
-                # only same-grid requests share a dispatch; defer others
+                # only composable requests share a dispatch, and never past
+                # the top bucket (each request must still fit after concat)
                 if (self._grid_key(nxt) == self._grid_key(first)
-                        and nxt.seed == first.seed):
+                        and have + nxt.start_goal.shape[0] <= max_b):
                     group.append(nxt)
                 else:
                     self.q.put(nxt)

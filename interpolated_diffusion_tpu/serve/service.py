@@ -141,6 +141,13 @@ class GenerationService:
         returns host arrays sliced back to B:
           interp [B, T, D], refined [B, T, D], keypoints [B, K, D],
           idx [B, K], served_batch (the bucket size actually dispatched).
+
+        Determinism: one PRNGKey(seed) drives the whole dispatch, so a
+        row's noise depends on its position in the served batch — the same
+        (inputs, seed) submitted alone vs. coalesced with other requests
+        yields different (equally valid) samples. Fix the full batch
+        composition (or serve with linger 0 and bucket 1) when bitwise
+        reproducibility across runs matters.
         """
         start_goal = np.atleast_2d(np.asarray(start_goal, np.float32))
         B = start_goal.shape[0]
@@ -156,6 +163,19 @@ class GenerationService:
         occ = np.asarray(occ, np.float32)
         if occ.ndim == 3:
             occ = occ[:, None]
+        if occ.shape[0] == 1 and B > 1:
+            # one shared grid for the whole request batch
+            occ = np.broadcast_to(occ, (B, *occ.shape[1:])).copy()
+            if sdf is not None:
+                sdf = np.asarray(sdf, np.float32)
+                sdf = sdf[None] if sdf.ndim == 2 else sdf
+                sdf = sdf[:, None] if sdf.ndim == 3 else sdf
+                sdf = np.broadcast_to(sdf, (B, *sdf.shape[1:])).copy()
+        if occ.shape[0] != B:
+            raise ValueError(
+                f"occ batch {occ.shape[0]} does not match start_goal "
+                f"batch {B} (send one grid per sample, or a single shared "
+                "grid)")
         if self.use_sdf and sdf is None:
             from ..data.maze import sdf_from_occupancy
 

@@ -82,15 +82,7 @@ class ModelTeacher:
         elif stage == "sinkhorn_interp":
             from ..models.sinkhorn_warp import SinkhornWarpInterpolator
 
-            model = SinkhornWarpInterpolator(
-                in_channels=C, patch_size=int(meta["patch_size"]),
-                win_size=int(meta["win_size"]),
-                global_mode=meta["global_mode"],
-                sinkhorn_iters=int(meta["sinkhorn_iters"]),
-                learn_tau=bool(meta["learn_tau"]),
-                learn_dustbin=bool(meta["learn_dustbin"]),
-                fb_sigma=float(meta["fb_sigma"]), d_match=int(meta["d_match"]),
-            )
+            model = SinkhornWarpInterpolator.from_meta(meta, in_channels=C)
             n = self._alpha_steps
             lat0 = jnp.zeros((1, n + 1, C, 8, 8))
             idx0 = jnp.asarray([[0, n]], jnp.int32)

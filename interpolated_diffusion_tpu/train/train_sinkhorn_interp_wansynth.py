@@ -99,6 +99,8 @@ def main(argv=None):
     meta = {"stage": "sinkhorn_interp", "in_channels": args.latent_c,
             "patch_size": args.sinkhorn_patch, "win_size": args.win_size,
             "sinkhorn_iters": args.sinkhorn_iters, "global_mode": args.global_mode,
+            "sinkhorn_tau": args.sinkhorn_tau,
+            "dustbin_logit": args.dustbin_logit,
             "learn_tau": args.learn_tau, "learn_dustbin": args.learn_dustbin,
             "fb_sigma": args.fb_sigma, "d_match": args.d_match}
     os.makedirs(args.out_dir, exist_ok=True)
