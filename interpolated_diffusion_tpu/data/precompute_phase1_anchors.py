@@ -37,10 +37,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--shard_size", type=int, default=64)
     p.add_argument("--ddim_steps", type=int, default=4)
     p.add_argument("--solver", type=str, default="ddim",
-                   choices=["ddim", "pfdiff"],
-                   help="pfdiff: past-score springboard — ~half the model "
-                        "evals per anchor (mutually exclusive with "
-                        "--cache_interval > 1)")
+                   choices=["ddim", "pfdiff", "dpm"],
+                   help="pfdiff: ~half the model evals per anchor; dpm: "
+                        "DPM-Solver++(2M) 2nd-order accuracy per eval. Both "
+                        "mutually exclusive with --cache_interval > 1")
     p.add_argument("--cache_interval", type=int, default=1,
                    help="FORA-style block caching (arXiv 2407.01425): run the "
                         "Wan block stack every Nth DDIM step and reuse its "
@@ -249,17 +249,14 @@ def main(argv=None):
                     if meta.get("use_wan") \
                     else _fn(z.astype(jnp.float32), t_b, idx, text)
 
-            if args.solver == "pfdiff":
-                from ..ops.ddpm import pfdiff_scan
+            from ..ops.ddpm import run_solver
 
-                z, _ = pfdiff_scan(scan_eps, z, seg_times, schedule)
-            else:
-                delta0 = None
-                if interval > 1:
-                    dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
-                    delta0 = jnp.zeros((B, *cache_shape), dt_)
-                z, _ = ddim_scan(scan_eps, z, seg_times, schedule,
-                                 cache_interval=interval, delta0=delta0)
+            delta0 = None
+            if interval > 1:
+                dt_ = jnp.bfloat16 if args.bf16 else jnp.float32
+                delta0 = jnp.zeros((B, *cache_shape), dt_)
+            z, _ = run_solver(args.solver, scan_eps, z, seg_times, schedule,
+                              cache_interval=interval, delta0=delta0)
         return unpatchify_tokens(z, p_sz, spatial)   # [B,K,C,H,W]
 
     # Output shards MIRROR the source shard basenames: the trainer-side

@@ -341,3 +341,113 @@ def pfdiff_scan(
         if collect and ys is not None:
             ys = jnp.concatenate([ys, z[None]], axis=0)
     return z, ys
+
+
+SOLVERS = ("ddim", "pfdiff", "dpm")
+
+
+def run_solver(
+    solver: str,
+    eps_fn,
+    z: jnp.ndarray,
+    times: jnp.ndarray,
+    schedule,
+    post=None,
+    collect: bool = False,
+    cache_interval: int = 1,
+    delta0: jnp.ndarray | None = None,
+):
+    """One dispatch point for the reverse-scan solver family.
+
+    ddim    exact baseline; composes with FORA block caching
+            (cache_interval > 1 + delta0).
+    pfdiff  past-score springboard — NFE 1+⌈(S−1)/2⌉ on the same grid.
+    dpm     DPM-Solver++(2M) — one eval/step, 2nd-order accuracy.
+
+    pfdiff/dpm replace model-eval structure themselves, so they refuse to
+    combine with FORA caching rather than silently double-approximate.
+    """
+    if solver not in SOLVERS:
+        raise ValueError(f"unknown solver {solver!r}; pick from {SOLVERS}")
+    if solver != "ddim":
+        if cache_interval > 1:
+            raise ValueError(
+                f"solver {solver!r} and cache_interval > 1 both substitute "
+                "model evals — pick one")
+        fn = pfdiff_scan if solver == "pfdiff" else dpm_solver_pp_scan
+        return fn(eps_fn, z, times, schedule, post=post, collect=collect)
+    return ddim_scan(eps_fn, z, times, schedule, post=post,
+                     cache_interval=cache_interval, delta0=delta0,
+                     collect=collect)
+
+
+def dpm_solver_pp_scan(
+    eps_fn,
+    z: jnp.ndarray,
+    times: jnp.ndarray,
+    schedule,
+    post=None,
+    collect: bool = False,
+):
+    """DPM-Solver++(2M): second-order multistep ODE solver, one eval/step.
+
+    Data-prediction multistep form (Lu et al., arXiv 2211.01095 §4): with
+    λ = log(α/σ), h_i = λ_i − λ_{i−1}, r_i = h_{i−1}/h_i and m = x0-pred,
+
+        x_i = (σ_i/σ_{i−1}) x_{i−1} − α_i (e^{−h_i} − 1)
+              [(1 + 1/(2 r_i)) m_{i−1} − 1/(2 r_i) m_{i−2}]
+
+    The first transition is first-order, which for an x0-prediction that
+    doesn't move between grid points coincides with DDIM exactly (tested) —
+    the 2nd-order correction only spends error where x0 actually moves, so
+    ~10 steps match 20-step DDIM quality at half the NFE. Same contract as
+    ddim_scan(interval=1); eps-predicting models are converted to x0
+    internally via the schedule.
+    """
+    B = z.shape[0]
+    post = post or (lambda x: x)
+    ab = schedule.alpha_bar[times]                    # [S+1] descending t
+    alpha = jnp.sqrt(ab)
+    sigma = jnp.sqrt(1.0 - ab)
+    lam = jnp.log(alpha) - jnp.log(sigma)
+
+    tb = lambda t: jnp.full((B,), t, dtype=jnp.int32)
+
+    n_t = int(times.shape[0])
+    if n_t < 2:
+        return z, None
+
+    # first-order warmup: t_0 → t_1 (all schedule coefficients are scalars —
+    # they broadcast over any state rank)
+    eps0 = eps_fn(z, tb(times[0]))
+    m_prev = (z - sigma[0] * eps0) / jnp.maximum(alpha[0], 1e-8)
+    h_prev = lam[1] - lam[0]
+    z = post((sigma[1] / sigma[0]) * z
+             - alpha[1] * (jnp.exp(-h_prev) - 1.0) * m_prev)
+
+    if n_t == 2:
+        return z, (z[None] if collect else None)
+
+    idx = jnp.arange(1, n_t - 1)
+    stacked = jnp.stack([
+        sigma[idx], sigma[idx + 1], alpha[idx + 1],
+        lam[idx + 1] - lam[idx],                      # h_i
+    ], axis=-1)
+
+    def body(carry, row):
+        z, m_prev, h_prev, i = carry
+        sig_i, sig_n, alp_n, h = row[0], row[1], row[2], row[3]
+        # model eval at the CURRENT state/time (dynamic index via switch-free
+        # gather: times is a traced table, t_b built from the carried index)
+        eps = eps_fn(z, jnp.full((B,), jnp.take(times, i), jnp.int32))
+        sig_c = jnp.take(sigma, i)
+        alp_c = jnp.take(alpha, i)
+        m = (z - sig_c * eps) / jnp.maximum(alp_c, 1e-8)
+        r = h_prev / h
+        D = (1.0 + 1.0 / (2.0 * r)) * m - (1.0 / (2.0 * r)) * m_prev
+        z = post((sig_n / sig_i) * z - alp_n * (jnp.exp(-h) - 1.0) * D)
+        return (z, m, h, i + 1), (z if collect else None)
+
+    (z, _, _, _), ys = jax.lax.scan(
+        body, (z, m_prev, h_prev, jnp.asarray(1, jnp.int32)), stacked)
+    return z, ys

@@ -93,10 +93,9 @@ class PipelineConfig:
                                            # the block stack every Nth step,
                                            # reuse its residual in between
                                            # (1 = exact)
-        stage1_solver: str = "ddim",       # ddim | pfdiff (past-score
-                                           # springboard: ~half the model
-                                           # evals on the same grid; not
-                                           # composable with cache_interval)
+        stage1_solver: str = "ddim",       # ddim | pfdiff | dpm
+                                           # (ops/ddpm.run_solver; pfdiff/dpm
+                                           # not composable w/ cache_interval)
         stage1_best_of: int = 1,           # sample N anchor sets and keep
                                            # the one whose interpolation has
                                            # the lowest collision rate
@@ -167,23 +166,14 @@ def make_pipeline(
                                   known_mask, cond, T, **cache_kw)
 
         post = lambda z: clip_pos(jnp.where(known_mask, known_values, z))
-        if cfg.stage1_solver == "pfdiff":
-            if cfg.stage1_cache_interval > 1:
-                raise ValueError(
-                    "--stage1_solver pfdiff and --stage1_cache_interval > 1 "
-                    "both substitute model evals — pick one")
-            from ..ops.ddpm import pfdiff_scan
+        from ..ops.ddpm import run_solver
 
-            z, z_steps = pfdiff_scan(eps_fn, z, times, kp_schedule,
-                                     post=post, collect=cfg.collect_steps)
-        else:
-            z, z_steps = ddim_scan(
-                eps_fn, z, times, kp_schedule,
-                post=post,
-                cache_interval=cfg.stage1_cache_interval,
-                delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
-                collect=cfg.collect_steps,
-            )
+        z, z_steps = run_solver(
+            cfg.stage1_solver, eps_fn, z, times, kp_schedule,
+            post=post, collect=cfg.collect_steps,
+            cache_interval=cfg.stage1_cache_interval,
+            delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
+        )
         if cfg.logit_space:
             z = sigmoid_pos(z)
             # z_steps can be None under pfdiff with a 1-2 interval grid
@@ -508,11 +498,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "cached residual in between (1 = exact; 2 ≈ halves "
                         "Stage-1 compute at a small anchor-error cost)")
     p.add_argument("--stage1_solver", type=str, default="ddim",
-                   choices=["ddim", "pfdiff"],
-                   help="pfdiff: PFDiff-style past-score springboard — "
-                        "~half the Stage-1 model evals on the same timestep "
-                        "grid (training-free; exact when eps is locally "
-                        "static). Mutually exclusive with cache_interval>1")
+                   choices=["ddim", "pfdiff", "dpm"],
+                   help="pfdiff: past-score springboard — ~half the Stage-1 "
+                        "model evals on the same grid; dpm: DPM-Solver++(2M)"
+                        " — 2nd-order accuracy per eval (use fewer steps). "
+                        "Both mutually exclusive with cache_interval>1")
     p.add_argument("--stage1_cache", type=str, default="")
     p.add_argument("--stage1_cache_mode", type=str, default="none",
                    choices=["none", "save", "load", "auto"])

@@ -75,21 +75,13 @@ def make_causal_pipeline(
                                   known_mask, cond, local_T, **cache_kw)
 
         post = lambda z: jnp.where(known_mask, known_values, z)
-        if stage1_solver == "pfdiff":
-            if stage1_cache_interval > 1:
-                raise ValueError("--stage1_solver pfdiff and "
-                                 "--stage1_cache_interval > 1 both "
-                                 "substitute model evals — pick one")
-            from ..ops.ddpm import pfdiff_scan
+        from ..ops.ddpm import run_solver
 
-            z, _ = pfdiff_scan(eps_fn, z, times, kp_schedule, post=post)
-        else:
-            z, _ = ddim_scan(
-                eps_fn, z, times, kp_schedule,
-                post=post,
-                cache_interval=stage1_cache_interval,
-                delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
-            )
+        z, _ = run_solver(
+            stage1_solver, eps_fn, z, times, kp_schedule, post=post,
+            cache_interval=stage1_cache_interval,
+            delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
+        )
         if logit_space:
             z = sigmoid_pos(z)
         return z
@@ -269,9 +261,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="FORA-style transformer caching in each chunk's "
                         "DDIM scan (1 = exact)")
     p.add_argument("--stage1_solver", type=str, default="ddim",
-                   choices=["ddim", "pfdiff"],
-                   help="pfdiff: past-score springboard per chunk — ~half "
-                        "the model evals on the same grid")
+                   choices=["ddim", "pfdiff", "dpm"],
+                   help="pfdiff: past-score springboard per chunk; dpm: "
+                        "DPM-Solver++(2M) 2nd-order accuracy per eval")
     p.add_argument("--stage1_best_of", type=int, default=1,
                    help="per-chunk best-of-N anchor search (collision-"
                         "scored; see sample/generate.py)")

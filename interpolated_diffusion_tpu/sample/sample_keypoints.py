@@ -34,9 +34,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--ddim_steps", type=int, default=20)
     p.add_argument("--solver", type=str, default="ddim",
-                   choices=["ddim", "pfdiff"],
-                   help="pfdiff: past-score springboard — ~half the model "
-                        "evals on the same timestep grid")
+                   choices=["ddim", "pfdiff", "dpm"],
+                   help="pfdiff: ~half the model evals on the same grid; "
+                        "dpm: DPM-Solver++(2M) 2nd-order accuracy per eval")
     p.add_argument("--time_spacing", type=str, default="quadratic",
                    choices=["linear", "quadratic", "sqrt"],
                    help="DDIM spacing (reference sample_keypoints.py:32 "
@@ -103,12 +103,9 @@ def main(argv=None):
                 z = z.at[..., :2].set(jnp.clip(z[..., :2], 0.0, 1.0))
             return z
 
-        if args.solver == "pfdiff":
-            from ..ops.ddpm import pfdiff_scan
+        from ..ops.ddpm import run_solver
 
-            z, _ = pfdiff_scan(eps_fn, z, times, schedule, post=post)
-        else:
-            z, _ = ddim_scan(eps_fn, z, times, schedule, post=post)
+        z, _ = run_solver(args.solver, eps_fn, z, times, schedule, post=post)
         if logit_space:
             z = sigmoid_pos(z)
         x = interpolate_from_indices(idx, z, T)

@@ -75,9 +75,9 @@ def build_argparser():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--ddim_steps", type=int, default=20)
     p.add_argument("--solver", type=str, default="ddim",
-                   choices=["ddim", "pfdiff"],
-                   help="pfdiff: past-score springboard — ~half the Stage-1 "
-                        "model evals on the same timestep grid")
+                   choices=["ddim", "pfdiff", "dpm"],
+                   help="pfdiff: ~half the Stage-1 model evals; dpm: "
+                        "DPM-Solver++(2M) 2nd-order accuracy per eval")
     p.add_argument("--num_samples", type=int, default=1000)
     p.add_argument("--sample_seed", type=int, default=1234)
     p.add_argument("--bf16", type=int, default=1)
@@ -116,14 +116,9 @@ def main(argv=None):
                                   known_mask, {}, T)
 
         post = lambda z: jnp.where(known_mask, known_values, z)
-        if args.solver == "pfdiff":
-            from ..ops.ddpm import pfdiff_scan
+        from ..ops.ddpm import run_solver
 
-            z, _ = pfdiff_scan(eps_fn, z, times, schedule, post=post)
-        else:
-            from ..ops.ddpm import ddim_scan
-
-            z, _ = ddim_scan(eps_fn, z, times, schedule, post=post)
+        z, _ = run_solver(args.solver, eps_fn, z, times, schedule, post=post)
         return z
 
     def stage2(key, x, idx):

@@ -113,9 +113,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bootstrap_warmup_steps", type=int, default=2000)
     p.add_argument("--bootstrap_ddim_steps", type=int, default=5)
     p.add_argument("--bootstrap_solver", type=str, default="ddim",
-                   choices=["ddim", "pfdiff"],
-                   help="pfdiff: ~half the bootstrap sampler's model evals "
-                        "per scheduled-sampling batch")
+                   choices=["ddim", "pfdiff", "dpm"],
+                   help="pfdiff/dpm: fewer or better-spent bootstrap "
+                        "sampler model evals per scheduled-sampling batch")
     add_data_args(p)
     add_train_args(p)
     return p
@@ -311,12 +311,10 @@ def make_bootstrap_sampler(args, data_dim: int):
                                   known_mask, cond, T, **cache_kw)
 
         post = lambda z: jnp.where(known_mask, known_values, z)
-        if getattr(args, "bootstrap_solver", "ddim") == "pfdiff":
-            from ..ops.ddpm import pfdiff_scan
+        from ..ops.ddpm import run_solver
 
-            z, _ = pfdiff_scan(eps_fn, z, times, kp_schedule, post=post)
-        else:
-            z, _ = ddim_scan(eps_fn, z, times, kp_schedule, post=post)
+        z, _ = run_solver(getattr(args, "bootstrap_solver", "ddim"),
+                          eps_fn, z, times, kp_schedule, post=post)
         if logit_space:
             z = sigmoid_pos(z)
         return z

@@ -44,6 +44,13 @@ run_step pfdiff_e2e 2400 python -m interpolated_diffusion_tpu.sample.generate \
   --num_batches 8 --batch 64 --stage1_solver pfdiff --save_plots 0 \
   --out_dir runs/tpu_rundown/pfdiff_e2e
 
+# 2e) DPM-Solver++(2M) at 10 steps — the low-NFE quality/speed point
+run_step dpm_e2e 2400 python -m interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
+  --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz \
+  --num_batches 8 --batch 64 --stage1_solver dpm --ddim_steps 10 \
+  --save_plots 0 --out_dir runs/tpu_rundown/dpm_e2e
+
 # 3) D4RL T=128 unified at the reference's winning recipe, on the fixed
 #    kp_feat path AND the fixed velocity scaling (VERDICT item 3). Fresh
 #    OUT; only the raw episode synthesis (ep_*.npz, the slow CPU stage) is
