@@ -44,6 +44,14 @@ run_step pfdiff_e2e 2400 python -m interpolated_diffusion_tpu.sample.generate \
   --num_batches 8 --batch 64 --stage1_solver pfdiff --save_plots 0 \
   --out_dir runs/tpu_rundown/pfdiff_e2e
 
+# 2d2) serving-layer throughput/latency on the chip (HTTP path, linger
+#      batcher, bucketed dispatch)
+run_step bench_serving 2400 python scripts/bench_serving.py \
+  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
+  --prepared_path runs/maze_q10k/prep/dp.npz \
+  --requests 256 --concurrency 16 --rows_per_request 4 \
+  --out_json runs/tpu_rundown/bench_serving.json
+
 # 2e) DPM-Solver++(2M) at 10 steps — the low-NFE quality/speed point
 run_step dpm_e2e 2400 python -m interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
