@@ -60,23 +60,41 @@ def rf_sample(
     return _integrate(velocity_fn, x, steps, method, keep_mask, shape[0])
 
 
-def _integrate(velocity_fn, x, steps, method, keep_mask, B):
+def rf_integrate(
+    velocity_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    x: jnp.ndarray,
+    steps: int,
+    method: str = "euler",
+    post: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Integrate dx/dt = v_θ(x, t) from the given state at t=1 down to t=0.
+
+    `post` runs after every committed step (known-value clamping / pos
+    clipping — the rf counterpart of ddim_scan's post), so conditioned
+    sampling keeps the same invariant as the diffusion samplers."""
+    B = x.shape[0]
     ts = jnp.linspace(1.0, 0.0, steps + 1)
+    post = post or (lambda z: z)
 
     def body(x, i):
         t_now = ts[i]
         dt = ts[i + 1] - ts[i]              # negative
         v = velocity_fn(x, jnp.full((B,), t_now))
         if method == "midpoint":
-            x_mid = x + 0.5 * dt * v
+            x_mid = post(x + 0.5 * dt * v)
             v = velocity_fn(x_mid, jnp.full((B,), t_now + 0.5 * dt))
-        x = x + dt * v
-        if keep_mask is not None:
-            x = x * (~keep_mask)[..., None]
+        x = post(x + dt * v)
         return x, None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(steps))
     return x
+
+
+def _integrate(velocity_fn, x, steps, method, keep_mask, B):
+    post = None
+    if keep_mask is not None:
+        post = lambda z: z * (~keep_mask)[..., None]
+    return rf_integrate(velocity_fn, x, steps, method, post)
 
 
 def reflow_pair(

@@ -96,6 +96,9 @@ class PipelineConfig:
         stage1_solver: str = "ddim",       # ddim | pfdiff | dpm
                                            # (ops/ddpm.run_solver; pfdiff/dpm
                                            # not composable w/ cache_interval)
+        stage1_objective: str = "eps",     # eps (DDPM/DDIM family) | rf
+                                           # (rectified flow: Euler-integrate
+                                           # the velocity head; from kp meta)
         stage1_best_of: int = 1,           # sample N anchor sets and keep
                                            # the one whose interpolation has
                                            # the lowest collision rate
@@ -166,14 +169,31 @@ def make_pipeline(
                                   known_mask, cond, T, **cache_kw)
 
         post = lambda z: clip_pos(jnp.where(known_mask, known_values, z))
-        from ..ops.ddpm import run_solver
+        if cfg.stage1_objective == "rf":
+            if cfg.stage1_cache_interval > 1 or cfg.stage1_solver != "ddim":
+                raise ValueError(
+                    "rf checkpoints integrate their velocity field directly "
+                    "— stage1_solver/cache_interval do not apply")
+            from ..ops.rectified_flow import rf_integrate
 
-        z, z_steps = run_solver(
-            cfg.stage1_solver, eps_fn, z, times, kp_schedule,
-            post=post, collect=cfg.collect_steps,
-            cache_interval=cfg.stage1_cache_interval,
-            delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
-        )
+            n_tr = kp_schedule.n_timesteps
+
+            def velocity_fn(z, t_cont):
+                t_emb = (t_cont * (n_tr - 1)).astype(jnp.int32)
+                return kp_model.apply({"params": kp_params}, z, t_emb, idx,
+                                      known_mask, cond, T)
+
+            z = rf_integrate(velocity_fn, z, cfg.ddim_steps, post=post)
+            z_steps = None
+        else:
+            from ..ops.ddpm import run_solver
+
+            z, z_steps = run_solver(
+                cfg.stage1_solver, eps_fn, z, times, kp_schedule,
+                post=post, collect=cfg.collect_steps,
+                cache_interval=cfg.stage1_cache_interval,
+                delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
+            )
         if cfg.logit_space:
             z = sigmoid_pos(z)
             # z_steps can be None under pfdiff with a 1-2 interval grid
@@ -551,6 +571,7 @@ def main(argv=None):
         collect_steps=bool(args.save_steps),
         stage1_cache_interval=args.stage1_cache_interval,
         stage1_solver=args.stage1_solver,
+        stage1_objective=kp_meta.get("objective", "eps"),
         stage1_best_of=args.stage1_best_of,
         stage1_best_of_mode=args.stage1_best_of_mode,
         kp_feat_dim=(int(kp_meta.get("kp_feat_dim", 0))

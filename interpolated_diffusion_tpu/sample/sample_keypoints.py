@@ -103,9 +103,22 @@ def main(argv=None):
                 z = z.at[..., :2].set(jnp.clip(z[..., :2], 0.0, 1.0))
             return z
 
-        from ..ops.ddpm import run_solver
+        if meta.get("objective", "eps") == "rf":
+            from ..ops.rectified_flow import rf_integrate
 
-        z, _ = run_solver(args.solver, eps_fn, z, times, schedule, post=post)
+            n_tr = schedule.n_timesteps
+
+            def velocity_fn(z, t_cont):
+                t_emb = (t_cont * (n_tr - 1)).astype(jnp.int32)
+                return model.apply({"params": params}, z, t_emb, idx,
+                                   known_mask, cond, T)
+
+            z = rf_integrate(velocity_fn, z, args.ddim_steps, post=post)
+        else:
+            from ..ops.ddpm import run_solver
+
+            z, _ = run_solver(args.solver, eps_fn, z, times, schedule,
+                              post=post)
         if logit_space:
             z = sigmoid_pos(z)
         x = interpolate_from_indices(idx, z, T)

@@ -51,6 +51,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--K", type=int, default=8)
     p.add_argument("--N_train", type=int, default=100)
     p.add_argument("--schedule", type=str, default="linear", choices=["linear", "cosine"])
+    p.add_argument("--objective", type=str, default="eps",
+                   choices=["eps", "rf"],
+                   help="rf: rectified-flow velocity matching (straight "
+                        "paths; samplers then Euler/midpoint-integrate "
+                        "instead of DDIM)")
     p.add_argument("--d_model", type=int, default=384)
     p.add_argument("--n_layers", type=int, default=12)
     p.add_argument("--n_heads", type=int, default=12)
@@ -86,6 +91,7 @@ def make_meta(args, data_dim: int) -> Dict:
         "K": args.K,
         "N_train": args.N_train,
         "schedule": args.schedule,
+        "objective": args.objective,
         "d_model": args.d_model,
         "n_layers": args.n_layers,
         "n_heads": args.n_heads,
@@ -175,13 +181,29 @@ def make_loss_fn(model: KeypointDenoiser, args, schedule, device_policy=None,
             cond["kp_feat"] = build_kp_feat_full(idx, T, kp_feat_dim, seg_cost)
 
         k_t, k_eps = jax.random.split(rng)
+        valid = (~known_mask).astype(jnp.float32)
+        if args.objective == "rf":
+            # rectified flow: straight-path velocity matching; the eps head
+            # doubles as the velocity head, continuous τ rides the integer
+            # timestep embedding (ops/rectified_flow.py)
+            from ..ops.rectified_flow import rf_interpolate
+
+            tau = jax.random.uniform(k_t, (B,))
+            noise = jax.random.normal(k_eps, z0.shape, z0.dtype)
+            z_t, v = rf_interpolate(z0, tau, noise)
+            z_t = jnp.where(known_mask, known_values, z_t)
+            t_emb = (tau * (args.N_train - 1)).astype(jnp.int32)
+            v_hat = model.apply({"params": params}, z_t, t_emb, idx,
+                                known_mask, cond, T)
+            v = v * (~known_mask)
+            loss = ((v_hat - v) ** 2 * valid).sum() / (valid.sum() + 1e-8)
+            return loss, {}
         t = jax.random.randint(k_t, (B,), 0, args.N_train)
         z_t, eps = q_sample(z0, t, schedule, key=k_eps)
         z_t = jnp.where(known_mask, known_values, z_t)
         eps = eps * (~known_mask)
 
         eps_hat = model.apply({"params": params}, z_t, t, idx, known_mask, cond, T)
-        valid = (~known_mask).astype(jnp.float32)
         loss = ((eps_hat - eps) ** 2 * valid).sum() / (valid.sum() + 1e-8)
         return loss, {}
 

@@ -181,3 +181,52 @@ def test_generate_causal_best_of(tmp_run, mode):
         "--out_dir", str(tmp_run / f"gen_causal_{mode}"),
     ])
     assert np.isfinite(summary["collision_rate"])
+
+
+def test_rf_objective_train_and_sample(tmp_path):
+    """Rectified-flow Stage-1: train with --objective rf, then both samplers
+    integrate the velocity field (meta-driven) with known-endpoint clamping."""
+    from interpolated_diffusion_tpu.sample.generate import main as gen_main
+    from interpolated_diffusion_tpu.sample.sample_keypoints import (
+        main as kp_sample_main,
+    )
+    from interpolated_diffusion_tpu.train.train_interp_levels import (
+        main as il_main,
+    )
+    from interpolated_diffusion_tpu.train.train_keypoints import main
+
+    kp = str(tmp_path / "kp_rf")
+    main(TINY + ["--K", "4", "--objective", "rf", "--steps", "4",
+                 "--save_every", "4", "--out_dir", kp])
+    il = str(tmp_path / "il")
+    il_main(TINY + ["--K_min", "4", "--levels", "2", "--mode", "adj",
+                    "--steps", "2", "--save_every", "2", "--out_dir", il])
+
+    out = str(tmp_path / "gen_rf")
+    gen_main([
+        "--kp_ckpt", kp, "--interp_ckpt", il,
+        "--num_batches", "1", "--batch", "4", "--num_samples", "64",
+        "--ddim_steps", "4",
+        "--maze_h", "9", "--maze_w", "9", "--bf16", "0", "--out_dir", out,
+    ])
+    assert os.path.exists(os.path.join(out, "summary.json"))
+
+    out2 = str(tmp_path / "kp_rf_samples")
+    summary = kp_sample_main([
+        "--kp_ckpt", kp, "--num_batches", "1", "--batch", "4",
+        "--num_samples", "64", "--ddim_steps", "4", "--plots", "0",
+        "--maze_h", "9", "--maze_w", "9", "--bf16", "0", "--out_dir", out2,
+    ])
+    assert np.isfinite(summary["mse_to_gt"])
+
+    # eps-family solver knobs must refuse to silently apply to rf ckpts
+    import pytest
+
+    with pytest.raises(ValueError, match="rf checkpoints"):
+        gen_main([
+            "--kp_ckpt", kp, "--interp_ckpt", il,
+            "--num_batches", "1", "--batch", "4", "--num_samples", "64",
+            "--stage1_solver", "dpm", "--ddim_steps", "4",
+            "--maze_h", "9", "--maze_w", "9", "--bf16", "0",
+            "--out_dir", str(tmp_path / "gen_rf_bad"),
+        ])
