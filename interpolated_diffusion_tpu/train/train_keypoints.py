@@ -56,6 +56,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="rf: rectified-flow velocity matching (straight "
                         "paths; samplers then Euler/midpoint-integrate "
                         "instead of DDIM)")
+    p.add_argument("--reflow_teacher", type=str, default=None,
+                   help="rf checkpoint to distill (ReFlow): training pairs "
+                        "become the teacher's own (noise, generated) "
+                        "couplings instead of data, straightening the flow "
+                        "toward 1-2 step sampling. Requires --objective rf")
+    p.add_argument("--reflow_steps", type=int, default=20,
+                   help="teacher integration steps per coupling")
     p.add_argument("--d_model", type=int, default=384)
     p.add_argument("--n_layers", type=int, default=12)
     p.add_argument("--n_heads", type=int, default=12)
@@ -132,7 +139,7 @@ def build_model(args, data_dim: int) -> KeypointDenoiser:
 
 
 def make_loss_fn(model: KeypointDenoiser, args, schedule, device_policy=None,
-                 dphi_fn=None):
+                 dphi_fn=None, reflow_fn=None):
     """loss_fn(params, batch, rng): batch has x, occ, start_goal[, idx].
 
     device_policy ("random"/"uniform") samples anchor indices inside the
@@ -189,7 +196,16 @@ def make_loss_fn(model: KeypointDenoiser, args, schedule, device_policy=None,
             from ..ops.rectified_flow import rf_interpolate
 
             tau = jax.random.uniform(k_t, (B,))
-            noise = jax.random.normal(k_eps, z0.shape, z0.dtype)
+            if reflow_fn is not None:
+                # ReFlow: replace (data, fresh noise) with the frozen
+                # teacher's own coupling — straightens the learned flow
+                k_eps, k_pair = jax.random.split(k_eps)
+                noise, z0 = reflow_fn(k_pair, idx, cond, known_mask,
+                                      known_values)
+                noise = jax.lax.stop_gradient(noise)
+                z0 = jax.lax.stop_gradient(z0)
+            else:
+                noise = jax.random.normal(k_eps, z0.shape, z0.dtype)
             z_t, v = rf_interpolate(z0, tau, noise)
             z_t = jnp.where(known_mask, known_values, z_t)
             t_emb = (tau * (args.N_train - 1)).astype(jnp.int32)
@@ -208,6 +224,42 @@ def make_loss_fn(model: KeypointDenoiser, args, schedule, device_policy=None,
         return loss, {}
 
     return loss_fn
+
+
+def make_reflow_fn(args):
+    """Frozen rf teacher → (noise, generated) conditional couplings.
+
+    The teacher integrates its velocity field from the SAME noise the loss
+    then interpolates against (the ReFlow coupling), with known-value
+    clamping applied every step so couplings stay on the conditional
+    manifold."""
+    from ..models.loading import load_keypoint_model
+    from ..ops.rectified_flow import rf_integrate
+
+    t_model, t_params, t_meta = load_keypoint_model(
+        args.reflow_teacher, bool(args.bf16))
+    if t_meta.get("objective") != "rf":
+        raise ValueError("--reflow_teacher must be an rf-objective Stage-1 "
+                         "checkpoint (meta objective=rf)")
+    n_tr = int(t_meta["N_train"])
+    T = args.T
+
+    def reflow_fn(key, idx, cond, known_mask, known_values):
+        B, K = idx.shape
+        D = known_values.shape[-1]
+        noise = jax.random.normal(key, (B, K, D))
+        x = jnp.where(known_mask, known_values, noise)
+
+        def velocity_fn(z, t_cont):
+            t_emb = (t_cont * (n_tr - 1)).astype(jnp.int32)
+            return t_model.apply({"params": t_params}, z, t_emb, idx,
+                                 known_mask, cond, T)
+
+        post = lambda z: jnp.where(known_mask, known_values, z)
+        x = rf_integrate(velocity_fn, x, args.reflow_steps, post=post)
+        return noise, x
+
+    return reflow_fn
 
 
 def main(argv=None):
@@ -281,7 +333,13 @@ def main(argv=None):
         dphi_fn, _ = make_dphi_seg_cost_fn(
             args.dphi_ckpt, args.T, bool(args.use_sdf), bool(args.bf16))
 
-    loss_fn = make_loss_fn(model, args, schedule, device_policy, dphi_fn)
+    reflow_fn = None
+    if args.reflow_teacher:
+        if args.objective != "rf":
+            raise ValueError("--reflow_teacher requires --objective rf")
+        reflow_fn = make_reflow_fn(args)
+    loss_fn = make_loss_fn(model, args, schedule, device_policy, dphi_fn,
+                           reflow_fn)
     spc = max(1, args.steps_per_call)
     train_step = make_train_multi_step(
         loss_fn, tx, args.ema_decay, args.grad_accum, spc

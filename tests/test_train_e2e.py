@@ -230,3 +230,38 @@ def test_rf_objective_train_and_sample(tmp_path):
             "--maze_h", "9", "--maze_w", "9", "--bf16", "0",
             "--out_dir", str(tmp_path / "gen_rf_bad"),
         ])
+
+
+def test_reflow_distillation(tmp_path):
+    """ReFlow: train rf teacher -> distill on its (noise, generated)
+    couplings -> the student still trains and samples; eps teachers are
+    rejected."""
+    from interpolated_diffusion_tpu.sample.sample_keypoints import (
+        main as kp_sample_main,
+    )
+    from interpolated_diffusion_tpu.train.train_keypoints import main
+
+    teacher = str(tmp_path / "kp_rf_teacher")
+    main(TINY + ["--K", "4", "--objective", "rf", "--steps", "3",
+                 "--save_every", "3", "--out_dir", teacher])
+
+    student = str(tmp_path / "kp_rf_student")
+    main(TINY + ["--K", "4", "--objective", "rf",
+                 "--reflow_teacher", teacher, "--reflow_steps", "4",
+                 "--steps", "2", "--save_every", "2", "--out_dir", student])
+    out = str(tmp_path / "student_samples")
+    summary = kp_sample_main([
+        "--kp_ckpt", student, "--num_batches", "1", "--batch", "4",
+        "--num_samples", "64", "--ddim_steps", "2", "--plots", "0",
+        "--maze_h", "9", "--maze_w", "9", "--bf16", "0", "--out_dir", out,
+    ])
+    assert np.isfinite(summary["mse_to_gt"])
+
+    eps_ckpt = str(tmp_path / "kp_eps")
+    main(TINY + ["--K", "4", "--steps", "2", "--save_every", "2",
+                 "--out_dir", eps_ckpt])
+    with pytest.raises(ValueError, match="objective=rf"):
+        main(TINY + ["--K", "4", "--objective", "rf",
+                     "--reflow_teacher", eps_ckpt,
+                     "--steps", "2", "--save_every", "2",
+                     "--out_dir", str(tmp_path / "bad")])
