@@ -19,6 +19,27 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
   fi
 }
 
+# 0) rebuild the trained maze checkpoints every consumer below uses — runs/
+#    is gitignored, so a workspace reset drops them. Recipe = the recorded
+#    quality runs (docs/RESULTS.md): Stage-1 10k steps on the DP idx mix,
+#    Stage-2 20k steps at the winning small dist-noise sigma 0.02.
+run_step maze_prep 3600 python -m \
+  interpolated_diffusion_tpu.data.prepare_dp_keypoints \
+  --out_path runs/maze_q10k/prep/dp.npz --T 64 --K 8 --num_samples 20000 \
+  --store_kp_mask_levels 1 --levels 3
+run_step maze_kp 7200 python -m \
+  interpolated_diffusion_tpu.train.train_keypoints \
+  --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz --T 64 --K 8 \
+  --idx_policy "dp:0.5,uniform:0.3,random:0.2" \
+  --steps 10000 --batch 256 --out_dir runs/maze_q10k/kp
+run_step maze_il 14400 python -m \
+  interpolated_diffusion_tpu.train.train_interp_levels \
+  --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz --T 64 \
+  --K_min 8 --levels 3 --mode adj --anchor_conf 1 --anchor_conf_anneal 1 \
+  --corrupt_mode dist --corrupt_sigma_max 0.02 \
+  --bootstrap_ckpt runs/maze_q10k/kp \
+  --steps 20000 --batch 256 --out_dir runs/maze_q10k/il_20k_s002
+
 # 1) bench regression gate (the driver's metric)
 run_step bench 2400 python bench.py
 
@@ -64,7 +85,8 @@ run_step dpm_e2e 2400 python -m interpolated_diffusion_tpu.sample.generate \
 #    OUT; only the raw episode synthesis (ep_*.npz, the slow CPU stage) is
 #    reused — windows/unified/DP REBUILD because the velocity channels
 #    changed (env-vel/pos_scale instead of the /dt finite-diff blowup).
-if [ ! -d runs/d4rl_r2/prep ]; then
+if [ ! -d runs/d4rl_r2/prep ] && ls runs/d4rl_unified/prep/ep_*.npz \
+    >/dev/null 2>&1; then
   mkdir -p runs/d4rl_r2/prep && cp runs/d4rl_unified/prep/ep_*.npz runs/d4rl_r2/prep/
 fi
 run_step d4rl_unified 28800 env OUT=runs/d4rl_r2 S2_STEPS=10000 \
