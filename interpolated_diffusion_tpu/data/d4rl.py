@@ -128,6 +128,7 @@ def window_episodes(
     timeouts: Optional[np.ndarray] = None,
     window_mode: str = "end",     # end | random | episode
     with_velocity: bool = False,
+    vel_mode: str = "fd",         # fd (= recompute convention) | obs
     flip_y: bool = False,
     seed: int = 0,
     max_collision_rate: float = 1.0,
@@ -140,20 +141,26 @@ def window_episodes(
 ) -> Dict[str, np.ndarray]:
     """Windowed, normalized, rejection-sampled trajectories → prepared arrays.
 
-    Velocity channels use the OBSERVATION velocities (obs[:, 2:4] — maze2d
-    observations are [x, y, vx, vy]) scaled by the same position bounds,
-    matching the reference's normalization (dataset.py:537-545). This keeps
-    the four channels at comparable O(1) magnitudes — finite-diff divided by
-    dt = 1/T blows velocities up ~T× over positions, which dominates the
-    eps-MSE and destabilizes Stage-1 DDIM in the velocity channels (the
-    round-2 D4RL divergence). Observations without velocity columns fall
-    back to per-step finite differences (no 1/dt)."""
+    Velocity channels (vel_mode):
+      * "fd" (default): finite differences of the WINDOWED normalized
+        positions with dt = 1/T — v[t] = (pos[t+1] − pos[t])·T, v[T−1] = 0.
+        This is bitwise the convention of ops.keyframes.
+        recompute_velocity_channels, so Stage-2 interp corruption with
+        --recompute_vel 1 reproduces GT velocities exactly on uncorrupted
+        anchors. (Round-2 postmortem: storing obs velocities while the
+        corruption recomputes fd×T left the two conventions ~13× apart on the
+        synthetic episodes, which blew up Stage-2 targets and the eval MSE.)
+      * "obs": raw observation velocities (obs[:, 2:4] — maze2d observations
+        are [x, y, vx, vy]) scaled by the position bounds, the reference's
+        normalization (dataset.py:537-545). Only consistent with the fd×T
+        recompute when the source sim stepped at dt_sim ≈ 1/T.
+    """
     episodes = split_episodes(terminals, timeouts)
     if not episodes:
         raise ValueError("no episodes found")
     pos_all, _, pos_scale = normalize_positions(observations[:, :2], occ, flip_y)
     vel_all = None
-    if with_velocity and observations.shape[1] >= 4:
+    if with_velocity and vel_mode == "obs" and observations.shape[1] >= 4:
         vel_all = (observations[:, 2:4] / pos_scale).astype(np.float32)
         if flip_y:
             vel_all = vel_all.copy()
@@ -196,9 +203,9 @@ def window_episodes(
         if with_velocity:
             if vel_all is not None:
                 v = vel_all[idx]
-            else:
+            else:  # fd: matches recompute_velocity_channels (dt = 1/T)
                 v = np.zeros_like(traj)
-                v[:-1] = traj[1:] - traj[:-1]   # per-step delta, no 1/dt
+                v[:-1] = (traj[1:] - traj[:-1]) * float(T)
             x_out[kept] = np.concatenate([traj, v], axis=-1)
         else:
             x_out[kept] = traj
@@ -299,6 +306,11 @@ def main(argv=None):
     p.add_argument("--window_mode", type=str, default="end",
                    choices=["end", "random", "episode"])
     p.add_argument("--with_velocity", type=int, default=0)
+    p.add_argument("--vel_mode", type=str, default="fd", choices=["fd", "obs"],
+                   help="fd: finite-diff of windowed positions with dt=1/T "
+                        "(the recompute_velocity_channels convention); obs: "
+                        "raw observation velocities / pos_scale (reference "
+                        "dataset.py:537-545)")
     p.add_argument("--flip_y", type=int, default=0)
     p.add_argument("--max_collision_rate", type=float, default=0.0)
     p.add_argument("--min_goal_dist", type=float, default=None)
@@ -329,7 +341,8 @@ def main(argv=None):
     occ = maze_map_to_occ(maze_map)
     data = window_episodes(
         obs, terminals, occ, args.T, args.num_samples, timeouts,
-        args.window_mode, bool(args.with_velocity), bool(args.flip_y),
+        args.window_mode, bool(args.with_velocity), args.vel_mode,
+        bool(args.flip_y),
         args.seed, args.max_collision_rate, args.min_goal_dist,
         args.min_path_len, args.min_tortuosity, args.min_turns,
         args.turn_angle_deg,

@@ -223,5 +223,12 @@ class InterpLevelDenoiser(nn.Module):
             dtype=self.dtype,
             name="transformer",
         )(h, cond_vec, deterministic)
-        out = nn.Dense(self.data_dim, dtype=self.dtype, name="out")(h)
+        # Zero-init delta head (departs from reference denoiser_interp_levels
+        # .py:52 default init): at init Stage-2 is exactly the identity
+        # refiner (refined == interp), so an undertrained model — or a cold
+        # EMA, which stays ≈74% init after 300 steps at decay 0.999 — degrades
+        # to "no refinement" instead of rms-1 garbage deltas amplified over
+        # `levels` applications.
+        out = nn.Dense(self.data_dim, dtype=self.dtype, name="out",
+                       kernel_init=nn.initializers.zeros)(h)
         return out.astype(jnp.float32)

@@ -23,6 +23,17 @@ def _is_torch_ckpt(path: str) -> bool:
     return os.path.isfile(path) and path.endswith((".pt", ".pth"))
 
 
+def _on_device(params):
+    """Pin loaded params on the default device ONCE.
+
+    flax serialization.from_bytes returns host numpy arrays; passing those
+    into a jitted pipeline re-uploads every weight on EVERY dispatch. On a
+    tunneled TPU (~30 MB/s host→device) that cost ~6 s/request and was the
+    round-2 serving gap (bench_serving p50 8.4 s vs a 14 ms compute). A
+    committed jax.Array transfers once and is reused by all later calls."""
+    return jax.device_put(params)
+
+
 def resolve_ckpt(path: str) -> str:
     if os.path.exists(os.path.join(path, "meta.json")):
         return path
@@ -49,7 +60,9 @@ def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
         # a reference PyTorch checkpoint: convert weights + meta on the fly
         from .torch_import import load_reference_denoiser
 
-        return load_reference_denoiser(path, "keypoint", bf16=bf16, use_ema=use_ema)
+        model, params, meta = load_reference_denoiser(
+            path, "keypoint", bf16=bf16, use_ema=use_ema)
+        return model, _on_device(params), meta
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "keypoints":
@@ -74,7 +87,7 @@ def load_keypoint_model(path: str, bf16: bool = True, use_ema: bool = True):
     )["params"]
     _, payload = load_checkpoint(path, tmpl)
     params = payload.get("ema") if (use_ema and "ema" in payload) else payload["params"]
-    return model, params, meta
+    return model, _on_device(params), meta
 
 
 def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
@@ -83,7 +96,9 @@ def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
         # the checkpoint's stage is "interp_levels_causal"
         from .torch_import import load_reference_denoiser
 
-        return load_reference_denoiser(path, "interp", bf16=bf16, use_ema=use_ema)
+        model, params, meta = load_reference_denoiser(
+            path, "interp", bf16=bf16, use_ema=use_ema)
+        return model, _on_device(params), meta
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "interp_levels":
@@ -109,14 +124,15 @@ def load_interp_model(path: str, bf16: bool = True, use_ema: bool = True):
     )["params"]
     _, payload = load_checkpoint(path, tmpl)
     params = payload.get("ema") if (use_ema and "ema" in payload) else payload["params"]
-    return model, params, meta
+    return model, _on_device(params), meta
 
 
 def load_selector_model(path: str, bf16: bool = True):
     if _is_torch_ckpt(path):
         from .torch_import import load_reference_selector
 
-        return load_reference_selector(path, bf16=bf16)
+        model, params, meta = load_reference_selector(path, bf16=bf16)
+        return model, _on_device(params), meta
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "selector":
@@ -138,14 +154,15 @@ def load_selector_model(path: str, bf16: bool = True):
         cond["level"] = jnp.zeros((1, 1))
     tmpl = model.init(jax.random.PRNGKey(0), cond)["params"]
     _, payload = load_checkpoint(path, tmpl)
-    return model, payload["params"], meta
+    return model, _on_device(payload["params"]), meta
 
 
 def load_segment_cost_model(path: str, bf16: bool = True):
     if _is_torch_ckpt(path):
         from .torch_import import load_reference_segment_cost
 
-        return load_reference_segment_cost(path, bf16=bf16)
+        model, params, meta = load_reference_segment_cost(path, bf16=bf16)
+        return model, _on_device(params), meta
     path = resolve_ckpt(path)
     _, meta = read_meta(path)
     if meta.get("stage") != "segment_cost":
@@ -162,7 +179,7 @@ def load_segment_cost_model(path: str, bf16: bool = True):
         jnp.zeros((1, meta["seg_feat_dim"])),
     )["params"]
     _, payload = load_checkpoint(path, tmpl)
-    return model, payload["params"], meta
+    return model, _on_device(payload["params"]), meta
 
 
 def make_dphi_seg_cost_fn(path: str, T: int, use_sdf: bool | None = None,

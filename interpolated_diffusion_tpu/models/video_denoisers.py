@@ -167,5 +167,8 @@ class VideoTokenInterpLevelDenoiser(nn.Module):
             d_ff=self.d_ff, dropout=self.dropout, use_film=True,
             use_remat=self.use_remat, dtype=self.dtype, name="transformer",
         )(h, cond_vec, deterministic)
-        out = nn.Dense(self.data_dim, dtype=self.dtype, name="out")(h)
+        # zero-init delta head — identity refiner at init (see
+        # models/denoisers.py InterpLevelDenoiser)
+        out = nn.Dense(self.data_dim, dtype=self.dtype, name="out",
+                       kernel_init=nn.initializers.zeros)(h)
         return out.reshape(B, T, N, D).astype(jnp.float32)

@@ -62,11 +62,22 @@ def ddim_step(
     schedule: DiffusionSchedule,
     eta: float = 0.0,
     key: Optional[jax.Array] = None,
+    x0_clip: Optional[float] = None,
 ) -> jnp.ndarray:
-    """One DDIM update from t to t_prev (deterministic when eta == 0)."""
+    """One DDIM update from t to t_prev (deterministic when eta == 0).
+
+    x0_clip bounds the intermediate x0 estimate to ±x0_clip. At the terminal
+    timestep of a cosine-1000 schedule √ᾱ ≈ 4.9e-5, so the x0-from-eps divide
+    amplifies model error ~2e4× — one bad first step throws the iterate so
+    far off-distribution the sampler never recovers (the round-2 D4RL
+    divergence; only data dims clipped per-step elsewhere survive). A static
+    clamp keeps every dim bounded without changing in-range numerics.
+    """
     ab_t = _gather(schedule.alpha_bar, t, xt.ndim)
     ab_prev = _gather(schedule.alpha_bar, t_prev, xt.ndim)
     x0 = (xt - jnp.sqrt(1.0 - ab_t) * eps) / jnp.sqrt(ab_t)
+    if x0_clip is not None and x0_clip > 0:
+        x0 = jnp.clip(x0, -float(x0_clip), float(x0_clip))
     if eta == 0.0:
         return jnp.sqrt(ab_prev) * x0 + jnp.sqrt(1.0 - ab_prev) * eps
     sigma = (
@@ -219,6 +230,7 @@ def ddim_scan(
     cache_interval: int = 1,
     delta0: jnp.ndarray | None = None,
     collect: bool = False,
+    x0_clip: float | None = None,
 ):
     """Shared DDIM reverse scan with optional FORA-style block caching.
 
@@ -240,7 +252,7 @@ def ddim_scan(
             eps = eps_fn(z, t_b)
             z = post(ddim_step(z, eps, t_b,
                                jnp.full((B,), pair[1], dtype=jnp.int32),
-                               schedule))
+                               schedule, x0_clip=x0_clip))
             return z, (z if collect else None)
 
         return jax.lax.scan(body, z, t_pairs)
@@ -262,7 +274,8 @@ def ddim_scan(
         eps, delta = jax.lax.cond(i % interval == 0, full_step, cached_step,
                                   z, delta)
         z = post(ddim_step(z, eps, t_b,
-                           jnp.full((B,), pair[1], dtype=jnp.int32), schedule))
+                           jnp.full((B,), pair[1], dtype=jnp.int32), schedule,
+                           x0_clip=x0_clip))
         return (z, delta), (z if collect else None)
 
     (z, _), ys = jax.lax.scan(body, (z, delta0),
@@ -277,6 +290,7 @@ def pfdiff_scan(
     schedule,
     post=None,
     collect: bool = False,
+    x0_clip: float | None = None,
 ):
     """PFDiff-style DDIM scan: ~half the model evals for the same grid.
 
@@ -304,13 +318,14 @@ def pfdiff_scan(
     n_int = n_t - 1
     if n_int < 2:
         return ddim_scan(eps_fn, z, times, schedule, post=post,
-                         collect=collect)
+                         collect=collect, x0_clip=x0_clip)
 
     tb = lambda t: jnp.full((B,), t, dtype=jnp.int32)
 
     # warmup: one full eval + plain DDIM step over the first interval
     eps_past = eps_fn(z, tb(times[0]))
-    z = post(ddim_step(z, eps_past, tb(times[0]), tb(times[1]), schedule))
+    z = post(ddim_step(z, eps_past, tb(times[0]), tb(times[1]), schedule,
+                       x0_clip=x0_clip))
 
     # groups of two intervals: (t_i, t_mid, t_next) triples over the rest
     rem = n_int - 1
@@ -326,9 +341,11 @@ def pfdiff_scan(
             # post() on the springboard state too: ddim_scan applies post
             # before every model eval (known-value clamping / pos clipping),
             # and the denoiser must see the same invariant here
-            z_mid = post(ddim_step(z, eps_past, tb(t_i), tb(t_mid), schedule))
+            z_mid = post(ddim_step(z, eps_past, tb(t_i), tb(t_mid), schedule,
+                                   x0_clip=x0_clip))
             eps_mid = eps_fn(z_mid, tb(t_mid))
-            z = post(ddim_step(z, eps_mid, tb(t_i), tb(t_next), schedule))
+            z = post(ddim_step(z, eps_mid, tb(t_i), tb(t_next), schedule,
+                               x0_clip=x0_clip))
             return (z, eps_mid), (z if collect else None)
 
         (z, eps_past), ys = jax.lax.scan(body, (z, eps_past), triples)
@@ -337,7 +354,8 @@ def pfdiff_scan(
 
     if rem % 2 == 1:                     # odd tail: one plain full step
         eps = eps_fn(z, tb(times[-2]))
-        z = post(ddim_step(z, eps, tb(times[-2]), tb(times[-1]), schedule))
+        z = post(ddim_step(z, eps, tb(times[-2]), tb(times[-1]), schedule,
+                           x0_clip=x0_clip))
         if collect and ys is not None:
             ys = jnp.concatenate([ys, z[None]], axis=0)
     return z, ys
@@ -356,6 +374,7 @@ def run_solver(
     collect: bool = False,
     cache_interval: int = 1,
     delta0: jnp.ndarray | None = None,
+    x0_clip: float | None = None,
 ):
     """One dispatch point for the reverse-scan solver family.
 
@@ -375,10 +394,11 @@ def run_solver(
                 f"solver {solver!r} and cache_interval > 1 both substitute "
                 "model evals — pick one")
         fn = pfdiff_scan if solver == "pfdiff" else dpm_solver_pp_scan
-        return fn(eps_fn, z, times, schedule, post=post, collect=collect)
+        return fn(eps_fn, z, times, schedule, post=post, collect=collect,
+                  x0_clip=x0_clip)
     return ddim_scan(eps_fn, z, times, schedule, post=post,
                      cache_interval=cache_interval, delta0=delta0,
-                     collect=collect)
+                     collect=collect, x0_clip=x0_clip)
 
 
 def dpm_solver_pp_scan(
@@ -388,6 +408,7 @@ def dpm_solver_pp_scan(
     schedule,
     post=None,
     collect: bool = False,
+    x0_clip: float | None = None,
 ):
     """DPM-Solver++(2M): second-order multistep ODE solver, one eval/step.
 
@@ -419,8 +440,13 @@ def dpm_solver_pp_scan(
 
     # first-order warmup: t_0 → t_1 (all schedule coefficients are scalars —
     # they broadcast over any state rank)
+    def _clip_m(m):
+        if x0_clip is not None and x0_clip > 0:
+            return jnp.clip(m, -float(x0_clip), float(x0_clip))
+        return m
+
     eps0 = eps_fn(z, tb(times[0]))
-    m_prev = (z - sigma[0] * eps0) / jnp.maximum(alpha[0], 1e-8)
+    m_prev = _clip_m((z - sigma[0] * eps0) / jnp.maximum(alpha[0], 1e-8))
     h_prev = lam[1] - lam[0]
     z = post((sigma[1] / sigma[0]) * z
              - alpha[1] * (jnp.exp(-h_prev) - 1.0) * m_prev)
@@ -442,7 +468,7 @@ def dpm_solver_pp_scan(
         eps = eps_fn(z, jnp.full((B,), jnp.take(times, i), jnp.int32))
         sig_c = jnp.take(sigma, i)
         alp_c = jnp.take(alpha, i)
-        m = (z - sig_c * eps) / jnp.maximum(alp_c, 1e-8)
+        m = _clip_m((z - sig_c * eps) / jnp.maximum(alp_c, 1e-8))
         r = h_prev / h
         D = (1.0 + 1.0 / (2.0 * r)) * m - (1.0 / (2.0 * r)) * m_prev
         z = post((sig_n / sig_i) * z - alp_n * (jnp.exp(-h) - 1.0) * D)

@@ -17,6 +17,7 @@ import argparse
 import csv
 import json
 import os
+import sys
 import time
 from typing import Dict, Optional, Tuple
 
@@ -114,6 +115,12 @@ class PipelineConfig:
                                            # off-distribution); cost channels
                                            # (>=5) need make_pipeline's
                                            # dphi_fn
+        x0_clip: float = 0.0,              # >0: clamp the solver's per-step
+                                           # x0 estimate to ±x0_clip (bounds
+                                           # ALL dims — pos_clip only bounds
+                                           # positions; see ops/ddpm.ddim_step
+                                           # on the cosine-1000 terminal-step
+                                           # amplification)
     ):
         self.__dict__.update(locals())
         del self.__dict__["self"]
@@ -193,6 +200,7 @@ def make_pipeline(
                 post=post, collect=cfg.collect_steps,
                 cache_interval=cfg.stage1_cache_interval,
                 delta0=jnp.zeros((B, K, kp_model.d_model), kp_model.dtype),
+                x0_clip=cfg.x0_clip if cfg.x0_clip > 0 else None,
             )
         if cfg.logit_space:
             z = sigmoid_pos(z)
@@ -502,6 +510,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--s2_noise_sigma", type=float, default=0.0)
     p.add_argument("--s2_noise_scale", type=float, default=1.0)
     p.add_argument("--pos_clip", type=int, default=1)
+    p.add_argument("--x0_clip", type=float, default=0.0,
+                   help=">0: clamp the Stage-1 solver's per-step x0 estimate "
+                        "to ±x0_clip across ALL dims (velocity dims included "
+                        "— pos_clip only bounds positions); guards the "
+                        "cosine-1000 terminal-step error amplification")
     p.add_argument("--compare_oracle", type=int, default=0)
     p.add_argument("--stage1_best_of", type=int, default=1,
                    help="sample N Stage-1 anchor sets and keep the lowest-"
@@ -530,6 +543,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--out_dir", type=str, default="runs/samples")
     p.add_argument("--save_npz", type=int, default=1)
+    p.add_argument("--sanity", type=int, default=0,
+                   help="exit non-zero when the summary trips the hard "
+                        "quality thresholds (check_summary_sanity) so "
+                        "pipeline steps cannot mark a broken run OK; the "
+                        "verdict is recorded in summary.json either way "
+                        "(pipelines pass --sanity 1; tiny test models would "
+                        "trip it by design)")
     p.add_argument("--save_plots", type=int, default=0,
                    help="plot the first N samples of batch 0 as PNGs")
     p.add_argument("--save_steps", type=int, default=0,
@@ -567,6 +587,7 @@ def main(argv=None):
         logit_space=bool(kp_meta.get("logit_space", 0)),
         logit_eps=float(kp_meta.get("logit_eps", 1e-5)),
         recompute_vel=bool(il_meta.get("recompute_vel", 0)) and int(kp_meta["data_dim"]) == 4,
+        x0_clip=args.x0_clip,
         stage2_mask_policy=args.stage2_mask_policy,
         collect_steps=bool(args.save_steps),
         stage1_cache_interval=args.stage1_cache_interval,
@@ -719,6 +740,8 @@ def main(argv=None):
     }
     if n_total:
         summary["samples_per_sec"] = n_total / t_total
+    sanity = check_summary_sanity(summary)
+    summary["sanity"] = sanity
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     if args.save_npz:
@@ -727,7 +750,38 @@ def main(argv=None):
             **{k: np.concatenate(v) for k, v in all_out.items()},
         )
     print("summary:", json.dumps(summary, indent=2))
+    if sanity["failures"] and args.sanity:
+        # a broken quality run must never land silently (round-2 regression:
+        # the rundown marked d4rl "OK" with refined collision 0.976)
+        print("SANITY FAILED:", "; ".join(sanity["failures"]), file=sys.stderr)
+        sys.exit(2)
     return summary
+
+
+def check_summary_sanity(summary: Dict[str, float]) -> Dict:
+    """Hard quality thresholds for sampling summaries.
+
+    Flags pathological results that indicate a broken pipeline rather than a
+    merely-weak model: Stage-2 making trajectories drastically worse, or
+    MSE-to-GT at garbage magnitudes (data lives in [0,1]^2 positions)."""
+    failures = []
+
+    def g(k):
+        return summary.get(k)
+
+    for pre in ("", "oracle_"):
+        im, rm = g(f"{pre}interp_mse_to_gt"), g(f"{pre}refined_mse_to_gt")
+        ic, rc = g(f"{pre}interp_collision_rate"), g(f"{pre}refined_collision_rate")
+        if im is not None and im > 5.0:
+            failures.append(f"{pre}interp_mse_to_gt={im:.3f} > 5.0")
+        if rm is not None and im is not None and rm > max(10.0 * im, im + 0.5):
+            failures.append(
+                f"{pre}refined_mse_to_gt={rm:.3f} >> interp {im:.3f} "
+                "(Stage-2 diverges)")
+        if rc is not None and ic is not None and rc > ic + 0.2:
+            failures.append(
+                f"{pre}refined_collision={rc:.3f} > interp {ic:.3f} + 0.2")
+    return {"ok": not failures, "failures": failures}
 
 
 if __name__ == "__main__":

@@ -146,9 +146,15 @@ def corrupt_from_anchors(
     mode: str,
     clamp_endpoints: bool,
     recompute_velocity: bool,
-) -> jnp.ndarray:
+    return_prenoise: bool = False,
+):
     """Interp-corrupt with optional anchor-index jitter, anchor-value noise,
-    and distance-scaled Gaussian noise on the interpolated positions."""
+    and distance-scaled Gaussian noise on the interpolated positions.
+
+    With return_prenoise, also returns the interpolation BEFORE the iid
+    per-frame dist/gauss noise (anchor jitter + anchor noise still applied) —
+    the segment-smooth signal a velocity recompute should read (see
+    _level_interp)."""
     B, _, D = source.shape
     K = idx.shape[1]
     k_jit, k_use, k_anchor, k_noise = jax.random.split(key, 4)
@@ -169,12 +175,15 @@ def corrupt_from_anchors(
             noise = jnp.where(end, 0.0, noise)
         vals = vals.at[:, :, :2].add(noise)
     x = interpolate_from_indices(idx, vals, T, recompute_velocity=False)
+    x_prenoise = x
     if sigma > 0.0:
         alpha = distance_alpha(idx, T) if mode == "dist" else 1.0
         noise = jax.random.normal(k_noise, (B, T, 2), dtype=source.dtype) * float(sigma)
         x = x.at[:, :, :2].add(noise * alpha)
     if recompute_velocity and D == 4:
         x = recompute_velocity_channels(x, T)
+    if return_prenoise:
+        return x, x_prenoise
     return x
 
 
@@ -197,21 +206,43 @@ def _level_interp(
     pos_clip: bool,
     pos_clip_min: float,
     pos_clip_max: float,
+    corrupt_vel: bool = False,
 ) -> jnp.ndarray:
     K_s = idx_s.shape[1]
     if corrupt_mode != "none":
         sigma = compute_sigma_for_level(K_s, K_min, corrupt_sigma_max, corrupt_sigma_min, corrupt_sigma_pow)
         anchor_sigma = sigma * float(corrupt_anchor_frac)
         jitter = compute_jitter_for_level(K_s, K_min, corrupt_index_jitter_max, corrupt_index_jitter_pow)
-        xs = corrupt_from_anchors(
+        xs, xs_prenoise = corrupt_from_anchors(
             key, source, idx_s, T, sigma, anchor_sigma, jitter,
-            corrupt_index_jitter_prob, corrupt_mode, clamp_endpoints, recompute_velocity,
+            corrupt_index_jitter_prob, corrupt_mode, clamp_endpoints,
+            recompute_velocity=False, return_prenoise=True,
         )
     else:
         vals = gather_keypoints(source, idx_s)
-        xs = interpolate_from_indices(idx_s, vals, T, recompute_velocity=recompute_velocity)
+        xs = interpolate_from_indices(idx_s, vals, T, recompute_velocity=False)
+        xs_prenoise = xs
     if pos_clip:
         xs = xs.at[..., :2].set(jnp.clip(xs[..., :2], pos_clip_min, pos_clip_max))
+        xs_prenoise = xs_prenoise.at[..., :2].set(
+            jnp.clip(xs_prenoise[..., :2], pos_clip_min, pos_clip_max))
+    # Velocities from the clipped positions — the reference recomputes before
+    # its position clip (train_interp_levels.py:287,:503), which lets an
+    # out-of-range position excursion survive ×T-amplified in the velocity
+    # channels; clipping first keeps every channel bounded.
+    #
+    # By default (corrupt_vel=False) velocities read the PRE-iid-noise
+    # positions: the iid dist/gauss noise simulates Stage-1 anchor error, but
+    # a real anchor-error interpolation is segment-smooth — fd×T of iid noise
+    # is a σ·√2·T ≈ 3.6-rms artifact (σ=0.02, T=128) that neither clean data
+    # nor sampling-time inputs ever contain, and it dominated the D=4 Stage-2
+    # loss as unlearnable target noise (the round-2 D4RL divergence's third
+    # leg). corrupt_vel=True restores the reference behavior for ablation.
+    if recompute_velocity and source.shape[-1] == 4:
+        vsrc = xs if corrupt_vel else xs_prenoise
+        xs = jnp.concatenate(
+            [xs[..., :2], recompute_velocity_channels(vsrc, T)[..., 2:]],
+            axis=-1)
     return xs
 
 
@@ -237,6 +268,7 @@ def build_interp_level_batch(
     pos_clip: bool = False,
     pos_clip_min: float = 0.0,
     pos_clip_max: float = 1.0,
+    corrupt_vel: bool = False,
 ):
     """x_s = Interp(x0 | M_s) at a sampled level s per sample.
 
@@ -264,6 +296,7 @@ def build_interp_level_batch(
         pos_clip=pos_clip,
         pos_clip_min=pos_clip_min,
         pos_clip_max=pos_clip_max,
+        corrupt_vel=corrupt_vel,
     )
     x_all = jnp.stack(
         [
@@ -288,11 +321,20 @@ def build_interp_adjacent_batch(
     masks_levels: Optional[jnp.ndarray] = None,
     idx_levels: Optional[List[jnp.ndarray]] = None,
     s_idx: Optional[jnp.ndarray] = None,
+    clean_target: bool = True,
     **corruption,
 ):
     """Adjacent-level pair (x_s, x_{s−1}) for delta-prediction training.
 
     Returns (x_s, x_prev, mask_s, mask_prev, s_idx, masks_levels, idx_levels).
+
+    clean_target (default, departs from reference :328-374): the target level
+    x_{s−1} is the CLEAN interpolation — no independent corruption draw. The
+    corruption noise is zero-mean, so E[x_prev|anchors] is unchanged, but an
+    independently-noised target adds pure variance the model can never fit
+    (and ×T-amplified variance in recomputed velocity channels). Targets
+    should point AT the manifold, not at another noisy sample of it.
+    clean_target=False restores the reference's double-corruption behavior.
     """
     B, T, D = x0.shape
     k_masks, k_s, k_lvls = jax.random.split(key, 3)
@@ -315,6 +357,7 @@ def build_interp_adjacent_batch(
         pos_clip=corruption.get("pos_clip", False),
         pos_clip_min=corruption.get("pos_clip_min", 0.0),
         pos_clip_max=corruption.get("pos_clip_max", 1.0),
+        corrupt_vel=corruption.get("corrupt_vel", False),
     )
     x_all = jnp.stack(
         [
@@ -325,7 +368,19 @@ def build_interp_adjacent_batch(
     )  # [levels+1, B, T, D]
     b = jnp.arange(B)
     x_s = x_all[s_idx, b]
-    x_prev = x_all[s_idx - 1, b]
+    if clean_target and corr["corrupt_mode"] != "none":
+        clean = dict(corr, corrupt_mode="none")
+        x_clean = jnp.stack(
+            [
+                _level_interp(lvl_keys[s], source, idx_levels[s], T, K_min,
+                              recompute_velocity, **clean)
+                for s in range(levels)
+            ],
+            axis=0,
+        )  # [levels, B, T, D] — only levels 0..levels−1 ever serve as target
+        x_prev = x_clean[s_idx - 1, b]
+    else:
+        x_prev = x_all[s_idx - 1, b]
     mask_s = jnp.take_along_axis(masks_levels, s_idx[:, None, None], axis=1)[:, 0]
     mask_prev = jnp.take_along_axis(masks_levels, (s_idx - 1)[:, None, None], axis=1)[:, 0]
     return x_s, x_prev, mask_s, mask_prev, s_idx, masks_levels, idx_levels

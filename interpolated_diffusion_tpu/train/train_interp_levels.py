@@ -103,6 +103,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pos_clip", type=int, default=0)
     p.add_argument("--pos_clip_min", type=float, default=0.0)
     p.add_argument("--pos_clip_max", type=float, default=1.0)
+    p.add_argument("--corrupt_vel", type=int, default=0,
+                   help="1: recompute velocity channels from the iid-noised "
+                        "positions (reference behavior — injects σ·√2·T "
+                        "unlearnable noise into D=4 targets); 0 (default): "
+                        "velocities read the pre-noise segment-smooth "
+                        "positions, matching what sampling-time inputs look "
+                        "like")
+    p.add_argument("--clean_target", type=int, default=1,
+                   help="1 (default): adj-mode target level x_{s-1} is the "
+                        "clean interpolation (same expectation, far lower "
+                        "target variance); 0: independent corruption draw on "
+                        "the target too (reference :328-374 behavior)")
     # Stage-1 bootstrap scheduled sampling
     p.add_argument("--bootstrap_ckpt", type=str, default=None)
     p.add_argument("--dphi_ckpt", type=str, default=None,
@@ -116,6 +128,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["ddim", "pfdiff", "dpm"],
                    help="pfdiff/dpm: fewer or better-spent bootstrap "
                         "sampler model evals per scheduled-sampling batch")
+    p.add_argument("--bootstrap_x0_clip", type=float, default=4.0,
+                   help=">0: clamp the bootstrap DDIM's per-step x0 estimate "
+                        "to ±this across ALL dims (ops/ddpm.ddim_step) — "
+                        "bounds velocity dims that pos_clip cannot reach; "
+                        "ignored in logit space")
     add_data_args(p)
     add_train_args(p)
     return p
@@ -154,6 +171,8 @@ def make_meta(args, data_dim: int) -> Dict:
         "maze_h": args.maze_h,
         "maze_w": args.maze_w,
         "corrupt_mode": args.corrupt_mode,
+        "corrupt_vel": args.corrupt_vel,
+        "clean_target": args.clean_target,
         "mask_policy": args.mask_policy,
         "mask_policy_mix": args.mask_policy_mix,
     }
@@ -310,11 +329,23 @@ def make_bootstrap_sampler(args, data_dim: int):
             return kp_model.apply({"params": kp_params}, z, t_b, idx,
                                   known_mask, cond, T, **cache_kw)
 
-        post = lambda z: jnp.where(known_mask, known_values, z)
+        # Per-step position clipping, same as the sampler's stage-1 post
+        # (reference sample_generate.py:383-399). Round-2 postmortem: without
+        # it the cosine-1000 terminal step blew student anchors to ±650,
+        # which the corruption then trained Stage-2 on (loss 20k → 1e6
+        # tracking the bootstrap warmup schedule exactly).
+        def post(z):
+            if args.pos_clip and not logit_space:
+                z = z.at[..., :2].set(
+                    jnp.clip(z[..., :2], args.pos_clip_min, args.pos_clip_max))
+            return jnp.where(known_mask, known_values, z)
+
         from ..ops.ddpm import run_solver
 
+        x0c = getattr(args, "bootstrap_x0_clip", 0.0)
         z, _ = run_solver(getattr(args, "bootstrap_solver", "ddim"),
-                          eps_fn, z, times, kp_schedule, post=post)
+                          eps_fn, z, times, kp_schedule, post=post,
+                          x0_clip=x0c if (x0c and not logit_space) else None)
         if logit_space:
             z = sigmoid_pos(z)
         return z
@@ -395,6 +426,7 @@ def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None,
         pos_clip=bool(args.pos_clip),
         pos_clip_min=args.pos_clip_min,
         pos_clip_max=args.pos_clip_max,
+        corrupt_vel=bool(args.corrupt_vel),
     )
 
     mix_buckets = _mask_mix_buckets(args)
@@ -481,7 +513,8 @@ def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None,
                 k_batch, x0, args.K_min, levels,
                 recompute_velocity=bool(args.recompute_vel),
                 x0_override=x0_used if bootstrap_sample is not None else None,
-                masks_levels=masks_levels, idx_levels=idx_levels, s_idx=s_idx, **corr,
+                masks_levels=masks_levels, idx_levels=idx_levels, s_idx=s_idx,
+                clean_target=bool(args.clean_target), **corr,
             )
             target = x_prev - x_s
             conf_s = build_anchor_conf(

@@ -8,11 +8,17 @@ bench.py's default wins by a margin, promote it there.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# `import bench` needs the repo root on sys.path even when invoked as
+# `python scripts/bench_sweep.py` from elsewhere (round-2 rundown failure)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench as _bench
 from interpolated_diffusion_tpu.models.denoisers import (

@@ -33,7 +33,11 @@ for ENV in $ENVS; do
       --env_id "$ENV" --n_episodes "$N_EPISODES" --max_steps 900 \
       --seed 0 --out_path "$OUT/prep/ep_${tag}.npz"
   fi
-  # 2) window + normalize + reject (collision-free windows, D=4 w/ velocity)
+  # 2) window + normalize + reject (collision-free windows). D=2 positions
+  # only: the reference's winning config never sets --with_velocity (its
+  # prepare_d4rl_dataset.py default is 0) and its per-step pos_clip then
+  # bounds EVERY data dim through the DDIM loop — the round-2 D=4 run left
+  # velocity dims unclipped and the cosine-1000 terminal step blew them up.
   for split in train eval; do
     n=$N_PER_ENV; seed=0
     [ "$split" = eval ] && { n=$N_EVAL_PER_ENV; seed=777777; }
@@ -42,7 +46,8 @@ for ENV in $ENVS; do
         --episodes "$OUT/prep/ep_${tag}.npz" --env_id "$ENV" \
         --out_path "$OUT/prep/${split}_${tag}.npz" \
         --T "$T" --num_samples "$n" --window_mode random \
-        --with_velocity 1 --max_collision_rate 0.0 --min_goal_dist 0.15 \
+        --with_velocity "${WITH_VELOCITY:-0}" \
+        --max_collision_rate 0.0 --min_goal_dist 0.15 \
         --seed $seed
     fi
   done
@@ -107,17 +112,21 @@ $RUNNER interpolated_diffusion_tpu.train.train_keypoints \
   --steps "$STEPS" --batch "$BATCH" --out_dir "$OUT/kp"
 
 # 8) Stage-2: the reference's winning small dist-noise recipe (uniform base
-# masks, adj targets, anchor-conf anneal, bootstrap scheduled sampling)
+# masks, adj targets, anchor-conf anneal, bootstrap scheduled sampling,
+# w_anchor 0.1 = the reference trainer default: confident anchors carry 10×
+# less loss weight than missing frames)
 $RUNNER interpolated_diffusion_tpu.train.train_interp_levels \
   $COMMON --prepared_path "$OUT/prep/train_dp.npz" \
   --K_min "$K" --levels "$LEVELS" --k_schedule "$K_SCHEDULE" --mode adj \
   --mask_policy "${MASK_POLICY:-uniform}" \
-  --anchor_conf 1 --anchor_conf_anneal 1 \
+  --anchor_conf 1 --anchor_conf_anneal 1 --w_anchor 0.1 \
   --corrupt_mode dist --corrupt_sigma_max "${SIGMA_MAX:-0.02}" \
   --corrupt_sigma_min "${SIGMA_MIN:-0.003}" --corrupt_sigma_pow 0.75 \
   --corrupt_anchor_frac 0.25 --pos_clip 1 \
-  --bootstrap_ckpt "$OUT/kp" --dphi_ckpt "$OUT/dphi" --bootstrap_ddim_steps 20 \
-  --bootstrap_warmup_steps $(( S2_STEPS / 4 )) \
+  --bootstrap_ckpt "$OUT/kp" --dphi_ckpt "$OUT/dphi" \
+  --bootstrap_ddim_steps "${BOOT_DDIM_STEPS:-20}" \
+  --bootstrap_replace_prob "${BOOT_REPLACE_PROB:-0.3}" \
+  --bootstrap_warmup_steps "${BOOT_WARMUP:-5000}" \
   --steps "$S2_STEPS" --batch "$BATCH" --out_dir "$OUT/il"
 
 # 9) e2e sampling on held-out eval data, with the oracle-anchor comparison
@@ -127,7 +136,7 @@ $RUNNER interpolated_diffusion_tpu.sample.generate \
   --kp_index_mode "${KP_INDEX_MODE:-uniform}" --selector_ckpt "$OUT/selector" \
   --dphi_ckpt "$OUT/dphi" \
   --s2_noise_mode level --s2_noise_sigma "${SIGMA_MIN:-0.003}" \
-  --pos_clip 1 --compare_oracle 1 \
+  --pos_clip 1 --compare_oracle 1 --sanity 1 \
   --num_batches "$SAMPLE_BATCHES" --batch 64 \
   --out_dir "$OUT/samples"
 

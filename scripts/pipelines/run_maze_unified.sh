@@ -40,7 +40,7 @@ python -m interpolated_diffusion_tpu.train.train_interp_levels \
 python -m interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt "$OUT/kp" --interp_ckpt "$OUT/il" \
   --dataset prepared --prepared_path "$PREP" \
-  --num_batches ${SAMPLE_BATCHES:-8} --batch 64 --compare_oracle 1 \
+  --num_batches ${SAMPLE_BATCHES:-8} --batch 64 --compare_oracle 1 --sanity 1 \
   --out_dir "$OUT/samples"
 
 python scripts/log_experiment.py --title "maze unified pipeline" \

@@ -1,8 +1,7 @@
 #!/usr/bin/env bash
-# Round-2 TPU work queue: everything that was blocked while the chip claim
-# was wedged, in priority order. Each step logs under runs/tpu_rundown and
-# failures don't stop later steps. Safe to re-run; finished steps are
-# skipped via their marker files.
+# Round-3 TPU work queue. Each step logs under runs/tpu_rundown and failures
+# don't stop later steps. Safe to re-run; finished steps are skipped via
+# their marker files.
 set -u
 cd "$(dirname "$0")/.."
 LOG=runs/tpu_rundown
@@ -40,104 +39,77 @@ run_step maze_il 14400 python -m \
   --bootstrap_ckpt runs/maze_q10k/kp \
   --steps 20000 --batch 256 --out_dir runs/maze_q10k/il_20k_s002
 
-# 1) bench regression gate (the driver's metric)
-run_step bench 2400 python bench.py
+# 1) bench regression gate (the driver's metric) + batch sweep
+run_step bench_r3 2400 python bench.py
+run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
 
-# 1b) batch sweep around the bench config (is B=256 still optimal?)
-run_step bench_sweep 2400 python scripts/bench_sweep.py
+# 2) real-TPU kernel oracle pass + autotune retry (VERDICT weak #8)
+run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
+run_step autotune_attn_r3 3600 python scripts/autotune_attention.py
 
-# 2) real-TPU kernel oracle pass
-run_step kernels 2400 python scripts/verify_kernel_tpu.py
-
-# 2b) attention block-size autotune at the Wan 33k geometry
-run_step autotune_attn 3600 python scripts/autotune_attention.py
-
-# 2c) refresh the 33k attention-mode numbers: the int8 backward now
-#     recomputes a consistent bf16 (o, lse) — train-step times changed
-run_step bench_wan33k 5400 python scripts/bench_wan33k.py \
-  --out_json docs/bench_wan33k.json
-
-# 2d) PFDiff solver e2e throughput on the real chip (quality A/B is in
-#     docs/RESULTS.md from the CPU run; this records the TPU samples/s)
-run_step pfdiff_e2e 2400 python -m interpolated_diffusion_tpu.sample.generate \
-  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
-  --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz \
-  --num_batches 8 --batch 64 --stage1_solver pfdiff --save_plots 0 \
-  --out_dir runs/tpu_rundown/pfdiff_e2e
-
-# 2d2) serving-layer throughput/latency on the chip (HTTP path, linger
-#      batcher, bucketed dispatch)
-run_step bench_serving 2400 python scripts/bench_serving.py \
-  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
-  --prepared_path runs/maze_q10k/prep/dp.npz \
-  --requests 256 --concurrency 16 --rows_per_request 4 \
-  --out_json runs/tpu_rundown/bench_serving.json
-
-# 2e) DPM-Solver++(2M) at 10 steps — the low-NFE quality/speed point
-run_step dpm_e2e 2400 python -m interpolated_diffusion_tpu.sample.generate \
-  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
-  --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz \
-  --num_batches 8 --batch 64 --stage1_solver dpm --ddim_steps 10 \
-  --save_plots 0 --out_dir runs/tpu_rundown/dpm_e2e
-
-# 3) D4RL T=128 unified at the reference's winning recipe, on the fixed
-#    kp_feat path AND the fixed velocity scaling (VERDICT item 3). Fresh
-#    OUT; only the raw episode synthesis (ep_*.npz, the slow CPU stage) is
-#    reused — windows/unified/DP REBUILD because the velocity channels
-#    changed (env-vel/pos_scale instead of the /dt finite-diff blowup).
-if [ ! -d runs/d4rl_r2/prep ] && ls runs/d4rl_unified/prep/ep_*.npz \
-    >/dev/null 2>&1; then
-  mkdir -p runs/d4rl_r2/prep && cp runs/d4rl_unified/prep/ep_*.npz runs/d4rl_r2/prep/
+# 3) D4RL T=128 unified at the reference's winning recipe — round-3 gate.
+#    D=2 (positions only, the reference's actual winning config), w_anchor
+#    0.1, pos-clipped bootstrap. Fresh OUT; only the raw episode synthesis
+#    (ep_*.npz, the slow CPU stage) is reused — windows/unified/DP REBUILD
+#    because the data dims changed (D=4 -> D=2).
+if [ ! -d runs/d4rl_r3/prep ]; then
+  mkdir -p runs/d4rl_r3/prep
+  ls runs/d4rl_r2/prep/ep_*.npz >/dev/null 2>&1 && \
+    cp runs/d4rl_r2/prep/ep_*.npz runs/d4rl_r3/prep/ || true
 fi
-run_step d4rl_unified 28800 env OUT=runs/d4rl_r2 S2_STEPS=10000 \
+run_step d4rl_r3_unified 28800 env OUT=runs/d4rl_r3 S2_STEPS=10000 \
   bash scripts/pipelines/run_d4rl_unified.sh
 
 # 3b) the same checkpoints sampled with selector-driven Stage-1 indices
 #     (the reference's unified-DP sampling mode) for the recipe comparison
-run_step d4rl_sample_selector 3600 python -m \
+run_step d4rl_r3_sample_selector 3600 python -m \
   interpolated_diffusion_tpu.sample.generate \
-  --kp_ckpt runs/d4rl_r2/kp --interp_ckpt runs/d4rl_r2/il \
-  --dataset prepared --prepared_path runs/d4rl_r2/prep/eval_dp.npz \
-  --kp_index_mode selector --selector_ckpt runs/d4rl_r2/selector \
-  --dphi_ckpt runs/d4rl_r2/dphi \
+  --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
+  --dataset prepared --prepared_path runs/d4rl_r3/prep/eval_dp.npz \
+  --kp_index_mode selector --selector_ckpt runs/d4rl_r3/selector \
+  --dphi_ckpt runs/d4rl_r3/dphi \
   --s2_noise_mode level --s2_noise_sigma 0.003 \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
-  --out_dir runs/d4rl_r2/samples_selector
+  --sanity 1 --out_dir runs/d4rl_r3/samples_selector
 
 # 3c) FORA-cached Stage-1 sampling: quality + throughput vs the exact run
-run_step d4rl_sample_fora 3600 python -m \
+run_step d4rl_r3_sample_fora 3600 python -m \
   interpolated_diffusion_tpu.sample.generate \
-  --kp_ckpt runs/d4rl_r2/kp --interp_ckpt runs/d4rl_r2/il \
-  --dataset prepared --prepared_path runs/d4rl_r2/prep/eval_dp.npz \
-  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r2/dphi \
+  --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
+  --dataset prepared --prepared_path runs/d4rl_r3/prep/eval_dp.npz \
+  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r3/dphi \
   --stage1_cache_interval 2 \
   --s2_noise_mode level --s2_noise_sigma 0.003 \
   --pos_clip 1 --num_batches 8 --batch 64 \
-  --out_dir runs/d4rl_r2/samples_fora2
+  --sanity 1 --out_dir runs/d4rl_r3/samples_fora2
 
 # 3d) best-of-N Stage-1 anchors at the headline config (the anchor-gap
 #     closer measured on maze in docs/RESULTS.md)
-run_step d4rl_sample_bestof16 5400 python -m \
+run_step d4rl_r3_sample_bestof16 5400 python -m \
   interpolated_diffusion_tpu.sample.generate \
-  --kp_ckpt runs/d4rl_r2/kp --interp_ckpt runs/d4rl_r2/il \
-  --dataset prepared --prepared_path runs/d4rl_r2/prep/eval_dp.npz \
-  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r2/dphi \
+  --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
+  --dataset prepared --prepared_path runs/d4rl_r3/prep/eval_dp.npz \
+  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r3/dphi \
   --stage1_best_of 16 --stage1_best_of_mode dp --stage1_cache_interval 2 \
   --s2_noise_mode level --s2_noise_sigma 0.003 \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
-  --out_dir runs/d4rl_r2/samples_bestof16
+  --sanity 1 --out_dir runs/d4rl_r3/samples_bestof16
 
-# 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (VERDICT item 4).
-#    One step per mix so partial progress survives a session cut — each mix's
-#    train+sample lands its own summary.json and marker. Priority order: the
-#    pure policies localize the anchor-error source; the mixes then test the
-#    reference's winning blends.
+# 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (round-1
+#    VERDICT item, still dataless — now on the FIXED D=2 checkpoints).
 for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
            "selector:0.7,uniform:0.2,random:0.1" \
            "dp:0.7,uniform:0.2,random:0.1"; do
   tag=$(echo "$MIX" | tr ':,.' '___')
-  run_step "idxmix_${tag}" 9000 env BASE=runs/d4rl_r2 STEPS=20000 \
+  run_step "idxmix_r3_${tag}" 9000 env BASE=runs/d4rl_r3 STEPS=20000 \
     MIXES="$MIX" bash scripts/pipelines/run_stage1_idxmix_ablation.sh
 done
+
+# 5) serving-layer throughput/latency after the round-3 fix
+run_step bench_serving_r3 2400 python scripts/bench_serving.py \
+  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
+  --prepared_path runs/maze_q10k/prep/dp.npz \
+  --requests 256 --concurrency 16 --rows_per_request 4 \
+  --out_json runs/tpu_rundown/bench_serving_r3.json
 
 echo "rundown complete $(date)"

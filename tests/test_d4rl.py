@@ -54,14 +54,17 @@ def test_rejection_sampling_filters():
                         min_path_len=1.0, max_resample_tries=5)
 
 
-def test_window_episodes_velocity_scaling():
-    """Velocity channels come from the observation velocities scaled by the
-    position bounds (reference dataset.py:537-545) — O(1) like positions,
-    NOT finite-diff divided by dt (which blows up ~T x and destabilized the
-    round-2 D4RL Stage-1)."""
+def test_window_episodes_velocity_convention():
+    """vel_mode='fd' (default) must match recompute_velocity_channels
+    bitwise — the round-2 D4RL divergence came from the prep storing obs
+    velocities (O(0.2)) while Stage-2 corruption recomputed fd×T velocities
+    (~13× larger on the synthetic episodes)."""
     import numpy as np
 
     from interpolated_diffusion_tpu.data.d4rl import window_episodes
+    from interpolated_diffusion_tpu.ops.keyframes import (
+        recompute_velocity_channels,
+    )
 
     occ = np.zeros((9, 9), np.float32)
     n, T = 300, 16
@@ -69,15 +72,29 @@ def test_window_episodes_velocity_scaling():
     pos = np.stack([4 + 3 * np.cos(t), 4 + 3 * np.sin(t)], axis=1)
     vel = np.stack([-3 * np.sin(t), 3 * np.cos(t)], axis=1)  # env units
     obs = np.concatenate([pos, vel], axis=1).astype(np.float32)
+
+    # fd (default): v[t] = (pos[t+1] − pos[t])·T, v[-1] = 0 — identical to
+    # the corruption-side recompute, so the conventions cannot drift again
     data = window_episodes(obs, np.zeros(n, bool), occ, T, 4,
                            window_mode="random", with_velocity=True)
     x = data["x"]
     assert x.shape[-1] == 4
-    # env vel (max 3) / pos_scale (8) = 0.375 — same order as positions
-    assert np.abs(x[..., 2:]).max() <= 0.5
-    np.testing.assert_allclose(np.abs(x[..., 2:]).max(), 3.0 / 8.0, atol=0.05)
+    rec = np.asarray(recompute_velocity_channels(x, T))
+    np.testing.assert_allclose(x[..., 2:], rec[..., 2:], atol=1e-5)
+    # circular path: |diff|·T = 3·(4π/300)/8·16 ≈ 0.25 — O(1) like positions
+    assert 0.1 < np.abs(x[..., 2:]).max() < 0.5
 
-    # fallback without velocity columns: per-step deltas, no 1/dt blowup
-    data2 = window_episodes(obs[:, :2], np.zeros(n, bool), occ, T, 4,
-                            window_mode="random", with_velocity=True)
-    assert np.abs(data2["x"][..., 2:]).max() < 0.2
+    # obs mode: reference normalization (dataset.py:537-545) — env vel
+    # (max 3) / pos_scale (8) = 0.375
+    data2 = window_episodes(obs, np.zeros(n, bool), occ, T, 4,
+                            window_mode="random", with_velocity=True,
+                            vel_mode="obs")
+    np.testing.assert_allclose(
+        np.abs(data2["x"][..., 2:]).max(), 3.0 / 8.0, atol=0.05)
+
+    # without velocity columns, obs mode falls back to fd
+    data3 = window_episodes(obs[:, :2], np.zeros(n, bool), occ, T, 4,
+                            window_mode="random", with_velocity=True,
+                            vel_mode="obs")
+    rec3 = np.asarray(recompute_velocity_channels(data3["x"], T))
+    np.testing.assert_allclose(data3["x"][..., 2:], rec3[..., 2:], atol=1e-5)

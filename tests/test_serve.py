@@ -108,3 +108,22 @@ def test_client_roundtrip(service):
     finally:
         server.shutdown()
         batcher.running = False
+
+
+def test_loaders_return_device_committed_params():
+    """Loaded params must be committed jax.Arrays, not host numpy — numpy
+    leaves re-upload every weight on EVERY jitted dispatch, which through
+    the ~30 MB/s TPU tunnel cost ~6 s/request (the round-2 serving gap:
+    bench_serving p50 8.4 s vs ~14 ms of compute)."""
+    import jax
+
+    from interpolated_diffusion_tpu.models.loading import (
+        load_interp_model, load_keypoint_model,
+    )
+
+    for loader, path in ((load_keypoint_model, KP), (load_interp_model, IL)):
+        _, params, _ = loader(path, bf16=False)
+        leaves = jax.tree_util.tree_leaves(params)
+        assert leaves, "checkpoint produced no params"
+        assert all(isinstance(l, jax.Array) for l in leaves), (
+            "loader returned host (numpy) leaves — device_put regression")
