@@ -38,13 +38,13 @@ def dense_attention(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-# When H·L is small, per-(B,H) batched attention degenerates into thousands
-# of MXU micro-matmuls ([L,Dh]@[Dh,L] each) — dispatch/padding overhead
-# dominates. Below this row bound we instead stack heads along the row axis
-# ([B, H·L, Dh]) and run ONE batched matmul with a static block-diagonal
-# mask: numerically identical (off-block logits are -inf), ~2× faster at
-# the maze model's K=8 (measured on v5e: 2.10 → 1.17 ms per 12-layer stack).
-_BLOCKDIAG_MAX_ROWS = 256
+# When L is small, per-(B,H) batched attention degenerates into thousands
+# of MXU micro-matmuls ([L,Dh]@[Dh,L] each using 1/16th of a 128-tile) —
+# padding waste dominates. We instead stack G heads along the row axis
+# ([B·H/G, G·L, Dh]) and run ONE tile-aligned batched matmul per group with
+# a static block-diagonal mask: numerically identical (off-block logits are
+# -inf). Measured v5e: K=8 full pack 2.10 → 1.17 ms per 12-layer stack;
+# T=64 G=2 raw attention 11.36 → 3.88 ms (see _blockdiag_group).
 
 
 def dense_attention_blockdiag(
@@ -52,20 +52,46 @@ def dense_attention_blockdiag(
     k: jnp.ndarray,
     v: jnp.ndarray,
     causal: bool = False,
+    group: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Same contract as dense_attention ([B, H, L, Dh]) via concat-heads."""
+    """Same contract as dense_attention ([B, H, L, Dh]) via grouped
+    concat-heads: G heads stack along the row axis and run as ONE batched
+    [G·L, G·L] matmul with a static block-diagonal mask (off-block logits
+    -inf → numerically identical to per-head attention).
+
+    group=None packs ALL heads (the original H·L ≤ 256 fast path). An
+    explicit G < H trades G× redundant off-block logits for full MXU tile
+    utilization — at L=64, Dh=32 the per-head matmuls use 1/16 of a 128-tile,
+    so G=2 (128 aligned rows) wins despite 2× logits (see docs/RESULTS.md
+    "Small-L attention"). G must divide H."""
     B, H, L, Dh = q.shape
+    G = H if group is None else group
+    nG = H // G
     scale = Dh ** -0.5
-    qc = q.reshape(B, H * L, Dh)
-    kc = k.reshape(B, H * L, Dh)
-    vc = v.reshape(B, H * L, Dh)
+    qc = q.reshape(B * nG, G * L, Dh)
+    kc = k.reshape(B * nG, G * L, Dh)
+    vc = v.reshape(B * nG, G * L, Dh)
     logits = jnp.einsum("bqd,bkd->bqk", qc, kc).astype(jnp.float32) * scale
     block = jnp.tril(jnp.ones((L, L), dtype=jnp.float32)) if causal else jnp.ones(
         (L, L), dtype=jnp.float32)
-    mask = jnp.kron(jnp.eye(H, dtype=jnp.float32), block).astype(bool)
+    mask = jnp.kron(jnp.eye(G, dtype=jnp.float32), block).astype(bool)
     logits = jnp.where(mask[None], logits, -1e30)
     probs = nn.softmax(logits, axis=-1).astype(vc.dtype)
     return jnp.einsum("bqk,bkd->bqd", probs, vc).reshape(B, H, L, Dh)
+
+
+def _blockdiag_group(H: int, L: int, max_rows: int = 128) -> int:
+    """Largest divisor G of H with G·L ≤ max_rows (1 = no packing pays).
+
+    max_rows=128 = one MXU tile edge. Measured at B=256, H=12, Dh=32 on v5e
+    (scripts in docs/RESULTS.md "Small-L attention"): at L=64 the G=2 packing
+    (128 rows) runs 3.88 ms vs 11.36 dense and 5.88 at G=4 (256 rows);
+    non-tile-aligned packings LOSE (G=3 → 192 rows → 13.4 ms), so the bound
+    is a tile edge, not a budget."""
+    G = max(1, min(H, max_rows // max(1, L)))
+    while G > 1 and H % G:
+        G -= 1
+    return G
 
 
 class TransformerBlock(nn.Module):
@@ -110,9 +136,13 @@ class TransformerBlock(nn.Module):
             attn = small_mha(qkv3[:, :, 0], qkv3[:, :, 1], qkv3[:, :, 2], H)
         else:
             qkv = qkv.reshape(B, L, 3, H, Dh).transpose(2, 0, 3, 1, 4)
-            attn_fn = (dense_attention_blockdiag
-                       if H * L <= _BLOCKDIAG_MAX_ROWS else dense_attention)
-            attn = attn_fn(qkv[0], qkv[1], qkv[2], causal=self.causal)
+            G = _blockdiag_group(H, L)
+            if G > 1:
+                attn = dense_attention_blockdiag(
+                    qkv[0], qkv[1], qkv[2], causal=self.causal, group=G)
+            else:
+                attn = dense_attention(qkv[0], qkv[1], qkv[2],
+                                       causal=self.causal)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
         attn = nn.Dense(self.d_model, dtype=self.dtype, name="attn_out")(attn)
         if self.dropout > 0.0:

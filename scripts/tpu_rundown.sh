@@ -39,14 +39,6 @@ run_step maze_il 14400 python -m \
   --bootstrap_ckpt runs/maze_q10k/kp \
   --steps 20000 --batch 256 --out_dir runs/maze_q10k/il_20k_s002
 
-# 1) bench regression gate (the driver's metric) + batch sweep
-run_step bench_r3 2400 python bench.py
-run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
-
-# 2) real-TPU kernel oracle pass + autotune retry (VERDICT weak #8)
-run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
-run_step autotune_attn_r3 3600 python scripts/autotune_attention.py
-
 # 3) D4RL T=128 unified at the reference's winning recipe — round-3 gate.
 #    D=2 (positions only, the reference's actual winning config), w_anchor
 #    0.1, pos-clipped bootstrap. Fresh OUT; only the raw episode synthesis
@@ -95,6 +87,21 @@ run_step d4rl_r3_sample_bestof16 5400 python -m \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
   --sanity 1 --out_dir runs/d4rl_r3/samples_bestof16
 
+# 1) bench regression gate (the driver's metric) + batch sweep
+run_step bench_r3 2400 python bench.py
+run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
+
+# 2) real-TPU kernel oracle pass + autotune retry (VERDICT weak #8)
+run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
+run_step autotune_attn_r3 3600 python scripts/autotune_attention.py
+
+# 5) serving-layer throughput/latency after the round-3 fix
+run_step bench_serving_r3 2400 python scripts/bench_serving.py \
+  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
+  --prepared_path runs/maze_q10k/prep/dp.npz \
+  --requests 256 --concurrency 16 --rows_per_request 4 \
+  --out_json runs/tpu_rundown/bench_serving_r3.json
+
 # 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (round-1
 #    VERDICT item, still dataless — now on the FIXED D=2 checkpoints).
 for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
@@ -104,12 +111,5 @@ for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
   run_step "idxmix_r3_${tag}" 9000 env BASE=runs/d4rl_r3 STEPS=20000 \
     MIXES="$MIX" bash scripts/pipelines/run_stage1_idxmix_ablation.sh
 done
-
-# 5) serving-layer throughput/latency after the round-3 fix
-run_step bench_serving_r3 2400 python scripts/bench_serving.py \
-  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
-  --prepared_path runs/maze_q10k/prep/dp.npz \
-  --requests 256 --concurrency 16 --rows_per_request 4 \
-  --out_json runs/tpu_rundown/bench_serving_r3.json
 
 echo "rundown complete $(date)"

@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
+
 
 def test_didemo_annotation_parsing(tmp_path):
     from interpolated_diffusion_tpu.data.didemo import (

@@ -1,10 +1,12 @@
 """Latent interpolator tests: grid sampling, flow warp, straighteners,
 lerp-residual, Sinkhorn warper — invariants + vs-LERP behavior."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from interpolated_diffusion_tpu.ops.image import (
+
     avg_pool2d,
     cost_volume,
     grid_sample_bilinear,
@@ -12,6 +14,8 @@ from interpolated_diffusion_tpu.ops.image import (
     warp,
 )
 
+
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
 
 def test_grid_sample_identity():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 10))

@@ -8,6 +8,7 @@ anchors (Stage-2 loss ~1e6). The samplers now rebuild the idx-geometry
 features from `idx` exactly as the trainer does (ops/selection.py
 build_kp_feat_batch).
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +17,8 @@ from interpolated_diffusion_tpu.models.denoisers import KeypointDenoiser
 from interpolated_diffusion_tpu.ops.schedules import make_schedule
 from interpolated_diffusion_tpu.sample.generate import PipelineConfig, make_pipeline
 from interpolated_diffusion_tpu.models.denoisers import InterpLevelDenoiser
+
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
 
 T, K, D, LEVELS = 32, 4, 2, 2
 GRID = 8

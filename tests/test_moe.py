@@ -1,6 +1,7 @@
 """Switch MoE FFN (models/moe.py) + expert parallelism (parallel/ep.py):
 dense one-hot dispatch must equal a per-token loop oracle, EP sharding must
 be numerics-neutral, and the WanDiT integration must run and train."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from interpolated_diffusion_tpu.models.moe import SwitchFFN
 from interpolated_diffusion_tpu.parallel.ep import apply_ep, ep_param_sharding
+
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
 
 DIM, FFN, E = 16, 32, 4
 

@@ -8,6 +8,8 @@ import pytest
 from interpolated_diffusion_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from interpolated_diffusion_tpu.parallel.tp import tp_param_sharding
 
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
+
 
 @pytest.fixture(scope="module")
 def devices():

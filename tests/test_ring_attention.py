@@ -14,9 +14,9 @@ from interpolated_diffusion_tpu.parallel.ring import (
     make_seq_mesh, ring_attention, ring_self_attention,
 )
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     len(jax.devices()) < 4, reason="needs multi-device mesh"
-)
+)]
 
 
 def _dense(q, k, v, causal=False):

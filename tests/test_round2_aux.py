@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
+
 
 def test_memguard():
     from interpolated_diffusion_tpu.utils.memguard import check_cpu_mem

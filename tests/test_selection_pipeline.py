@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from interpolated_diffusion_tpu.ops.selection import (
+
     build_cost_matrix_from_segments,
     build_kp_feat_batch,
     build_segment_precompute,
@@ -15,6 +16,8 @@ from interpolated_diffusion_tpu.ops.selection import (
     dp_select_indices_batch,
 )
 
+
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
 
 @pytest.fixture(scope="module")
 def prep_npz(tmp_path_factory):

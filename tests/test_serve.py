@@ -34,6 +34,7 @@ def service():
     return svc
 
 
+@pytest.mark.slow
 def test_service_bucketing_and_shapes(service):
     sg = np.asarray([[0.1, 0.1, 0.9, 0.9]], np.float32)
     out = service.generate(sg, seed=3)          # B=1 → bucket 2
@@ -49,6 +50,7 @@ def test_service_bucketing_and_shapes(service):
         service.generate(np.tile(sg, (5, 1)))   # exceeds largest bucket
 
 
+@pytest.mark.slow
 def test_http_server_coalesces_concurrent_requests(service):
     from interpolated_diffusion_tpu.serve.server import serve
 
@@ -91,6 +93,7 @@ def test_http_server_coalesces_concurrent_requests(service):
         batcher.running = False
 
 
+@pytest.mark.slow
 def test_client_roundtrip(service):
     from interpolated_diffusion_tpu.serve.client import GenerationClient
     from interpolated_diffusion_tpu.serve.server import serve

@@ -1,4 +1,5 @@
 """small_mha kernel: oracle parity, exact gradients, transformer routing."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,3 +67,32 @@ def test_transformer_small_mha_flag_matches_default_path():
     out = blk_k.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("L,causal", [(8, False), (16, False), (64, False),
+                                      (64, True), (33, False)])
+def test_grouped_blockdiag_matches_dense(L, causal):
+    """Grouped head-packing (G heads per tile-aligned row block, static
+    block-diagonal mask) is numerically identical to per-head attention for
+    every group size the dispatch can pick."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from interpolated_diffusion_tpu.models.transformer import (
+        _blockdiag_group, dense_attention, dense_attention_blockdiag)
+
+    B, H, Dh = 3, 12, 32
+    ks = jax.random.split(jax.random.PRNGKey(L), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, L, Dh)) for kk in ks)
+    ref = dense_attention(q, k, v, causal=causal)
+    G = _blockdiag_group(H, L)
+    assert G * L <= 128 and H % G == 0
+    out = dense_attention_blockdiag(q, k, v, causal=causal, group=G)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    # full pack (G=H) must stay exact too when it fits one tile
+    if H * L <= 128:
+        out_full = dense_attention_blockdiag(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(out_full), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)

@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
+
 
 @pytest.fixture(scope="module")
 def tmp_run(tmp_path_factory):

@@ -17,6 +17,8 @@ from interpolated_diffusion_tpu.ops.video_keyframes import (
 from interpolated_diffusion_tpu.utils.frame_features import frame_features_from_mask
 from interpolated_diffusion_tpu.utils.video_tokens import patchify_latents, unpatchify_tokens
 
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
+
 
 def test_patchify_roundtrip():
     lat = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 8, 12))

@@ -1,6 +1,7 @@
 """Pipeline-parallel WanDiT (models/wan_pp.py): the pipelined block stack
 must reproduce the plain scan-mode forward exactly, and train (grads reach
 the stacked block params through the pipeline closure)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,8 @@ from jax.sharding import Mesh
 
 from interpolated_diffusion_tpu.models.wan_dit import WanDiT
 from interpolated_diffusion_tpu.models.wan_pp import wan_pp_apply
+
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
 
 B, C, T, H, W = 4, 4, 4, 4, 4
 L_TEXT, TEXT_DIM = 5, 32

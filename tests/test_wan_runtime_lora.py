@@ -16,9 +16,12 @@ from flax import traverse_util
 
 from interpolated_diffusion_tpu.models.wan_dit import WanDiT
 from interpolated_diffusion_tpu.train.wansynth_common import (
+
     join_lora_params,
     split_lora_params,
 )
+
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
 
 RANK = 4
 ALPHA = 8.0

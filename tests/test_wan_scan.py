@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 
 from interpolated_diffusion_tpu.models.wan_dit import (
+
     WanDiT, stack_block_params, unstack_block_params,
 )
 
@@ -22,6 +23,8 @@ CFG = dict(
     dim=48, n_layers=3, n_heads=4, ffn_dim=96, in_channels=4,
     out_channels=4, text_dim=32, max_seq_len=64, freq_dim=16,
 )
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
+
 SHAPES = dict(B=2, C=4, T=4, H=4, W=4, L_text=6)
 
 

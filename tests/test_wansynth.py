@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy e2e tier: run with -m slow (fast tier must stay <5 min)
+
 TINY_WAN = ["--num_samples", "12", "--T", "9", "--latent_c", "4",
             "--latent_h", "8", "--latent_w", "8", "--text_len", "8",
             "--text_dim", "64", "--wan_dim", "64", "--wan_layers", "2",
