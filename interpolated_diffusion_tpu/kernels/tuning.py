@@ -52,3 +52,14 @@ def flash_blocks(default_m: int = 512, default_n: int = 1024,
     falls back to the forward winner, then to the built-in defaults.
     """
     return _best("flash", prefer) or (default_m, default_n)
+
+
+def sla_blocks(default: int = 256, quant: str = "none",
+               prefer: str = "best_grad") -> int:
+    """Square (block_q = block_k) size for the block-sparse SLA kernels:
+    tuned winner from the 'sla' (bf16) or 'sage_sla' (int8) sweep, else the
+    default. Consulted by WanDiT's attn_mode dispatch so ALL tuned kernels —
+    not just flash — read the registry (VERDICT round-3 item 8)."""
+    kern = "sage_sla" if quant == "int8" else "sla"
+    got = _best(kern, prefer)
+    return got[0] if got else default

@@ -196,10 +196,14 @@ class WanAttention(nn.Module):
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
         if self.attn_mode in ("sla", "sage_sla") and context is None:
+            from ..kernels.tuning import sla_blocks
+
+            quant = "int8" if self.attn_mode == "sage_sla" else "none"
+            blk = sla_blocks(default=self.sla_block, quant=quant)
             out = SparseLinearAttention(
                 head_dim=Dh, topk=self.sla_topk,
-                block_q=self.sla_block, block_k=self.sla_block,
-                quant="int8" if self.attn_mode == "sage_sla" else "none",
+                block_q=blk, block_k=blk,
+                quant=quant,
                 name="sla",
             )(q, k, v)
         elif L >= 2048:

@@ -128,6 +128,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["ddim", "pfdiff", "dpm"],
                    help="pfdiff/dpm: fewer or better-spent bootstrap "
                         "sampler model evals per scheduled-sampling batch")
+    p.add_argument("--bootstrap_best_of", type=int, default=1,
+                   help=">1: draw N candidate student anchor sets per batch "
+                        "and keep the best (mode below) — trains Stage-2 on "
+                        "the anchor distribution the best-of sampler serves "
+                        "(sample/generate.py --stage1_best_of)")
+    p.add_argument("--bootstrap_best_of_mode", type=str, default="dp",
+                   choices=["dp", "collision"],
+                   help="dp: chain-DP per-anchor candidate mix; collision: "
+                        "whole-set lowest interpolation collision")
     p.add_argument("--bootstrap_x0_clip", type=float, default=4.0,
                    help=">0: clamp the bootstrap DDIM's per-step x0 estimate "
                         "to ±this across ALL dims (ops/ddpm.ddim_step) — "
@@ -175,6 +184,8 @@ def make_meta(args, data_dim: int) -> Dict:
         "clean_target": args.clean_target,
         "mask_policy": args.mask_policy,
         "mask_policy_mix": args.mask_policy_mix,
+        "bootstrap_best_of": getattr(args, "bootstrap_best_of", 1),
+        "bootstrap_best_of_mode": getattr(args, "bootstrap_best_of_mode", "dp"),
     }
 
 
@@ -350,7 +361,33 @@ def make_bootstrap_sampler(args, data_dim: int):
             z = sigmoid_pos(z)
         return z
 
-    return sample, K
+    best_of = int(getattr(args, "bootstrap_best_of", 1) or 1)
+    if best_of <= 1:
+        return sample, K
+
+    from ..ops.anchor_search import collision_score, dp_mix_anchors
+    from ..ops.keyframes import interpolate_from_indices
+
+    def sample_best_of(key: jax.Array, idx: jnp.ndarray, cond: Dict) -> jnp.ndarray:
+        """Draw N candidate anchor sets and keep the lowest-collision one
+        (or the chain-DP per-anchor mix) — the SAME selection the sampler's
+        --stage1_best_of serves, so Stage-2 trains on the anchor-error
+        distribution it will actually refine (VERDICT round-3 item 2: under
+        dp best-of-16 sampling, a Stage-2 trained on single-draw anchors
+        made collision worse, 0.0268 → 0.0384)."""
+        keys = jax.random.split(key, best_of)
+        z_cands = jax.vmap(lambda k: sample(k, idx, cond))(keys)  # [N,B,K,D]
+        occ = cond["occ"][:, 0] if cond["occ"].ndim == 4 else cond["occ"]
+        if getattr(args, "bootstrap_best_of_mode", "dp") == "dp":
+            return dp_mix_anchors(z_cands, idx, occ, T)
+        x_cands = jax.vmap(lambda zz: interpolate_from_indices(
+            idx, zz, T, recompute_velocity=False))(z_cands)
+        scores = jax.vmap(lambda x: collision_score(x, occ))(x_cands)  # [N,B]
+        best = jnp.argmin(scores, axis=0)
+        return jnp.take_along_axis(
+            z_cands, best[None, :, None, None], axis=0)[0]
+
+    return sample_best_of, K
 
 
 def make_selector_logits_fn(args):

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import itertools
+import re
 import json
 import time
 
@@ -41,6 +42,7 @@ from interpolated_diffusion_tpu.kernels.int8_attention import (
 )
 from interpolated_diffusion_tpu.kernels.sla import get_block_map
 
+_ANSI = re.compile(r"\x1b\[[0-9;]*m")
 BH, L, D = 12, 32760, 128      # Wan2.1-1.3B: 12 heads, 21*30*52 tokens
 TOPK = 0.1
 
@@ -82,13 +84,25 @@ def sweep(name, fn, configs, make_args, iters, report):
             print(f"[{name}] {tag}: fwd {fwd:.4f}s grad {step:.4f}s",
                   flush=True)
         except Exception as e:  # VMEM overflow / Mosaic lowering limits
-            rows[tag] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
-            print(f"[{name}] {tag}: FAILED {type(e).__name__}", flush=True)
+            # one retry: remote-compiler hiccups (HTTP 500) are transient
+            # (round-2 left a raw crash string in the registry — ADVICE #3)
+            try:
+                fwd = _timed(jax.jit(lambda *a, _c=cfg: fn(*a, *_c)),
+                             *make_args(cfg), iters=iters)
+                rows[tag] = {"fwd_s": round(fwd, 4),
+                             "retried": f"{type(e).__name__}"}
+                print(f"[{name}] {tag}: fwd {fwd:.4f}s (retry ok)", flush=True)
+            except Exception as e2:
+                reason = _ANSI.sub("", f"{type(e2).__name__}: {e2}")[:160]
+                rows[tag] = {"unsupported": reason}
+                print(f"[{name}] {tag}: UNSUPPORTED {type(e2).__name__}",
+                      flush=True)
     ok = {k: v for k, v in rows.items() if "fwd_s" in v}
+    okg = {k: v for k, v in ok.items() if "grad_s" in v}  # retried rows lack grad_s
     report[name] = {
         "configs": rows,
         "best_fwd": min(ok, key=lambda k: ok[k]["fwd_s"]) if ok else None,
-        "best_grad": min(ok, key=lambda k: ok[k]["grad_s"]) if ok else None,
+        "best_grad": min(okg, key=lambda k: okg[k]["grad_s"]) if okg else None,
     }
 
 

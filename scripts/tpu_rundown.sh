@@ -95,6 +95,29 @@ run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
 run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
 run_step autotune_attn_r3 3600 python scripts/autotune_attention.py
 
+# 4b) Stage-2 that earns its place under the BEST sampler (VERDICT weak #2):
+#     train with bootstrap anchors drawn from the dp best-of-16 distribution
+#     (the sampler's own selection), then A/B both checkpoints under
+#     dp best-of-16 sampling. Done = refined <= interp on the best path.
+run_step maze_il_boot16 14400 python -m \
+  interpolated_diffusion_tpu.train.train_interp_levels \
+  --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz --T 64 \
+  --K_min 8 --levels 3 --mode adj --anchor_conf 1 --anchor_conf_anneal 1 \
+  --corrupt_mode dist --corrupt_sigma_max 0.02 \
+  --bootstrap_ckpt runs/maze_q10k/kp \
+  --bootstrap_best_of 16 --bootstrap_best_of_mode dp \
+  --bootstrap_ddim_steps 8 --bootstrap_replace_prob 0.5 \
+  --steps 20000 --batch 256 --out_dir runs/maze_q10k/il_boot16
+for ILV in il_20k_s002 il_boot16; do
+  run_step "maze_bestof16_${ILV}" 3600 python -m \
+    interpolated_diffusion_tpu.sample.generate \
+    --kp_ckpt runs/maze_q10k/kp --interp_ckpt "runs/maze_q10k/${ILV}" \
+    --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz \
+    --kp_index_mode uniform --stage1_best_of 16 --stage1_best_of_mode dp \
+    --compare_oracle 1 --num_batches 8 --batch 64 --sanity 1 \
+    --out_dir "runs/maze_q10k/samples_bestof16_${ILV}"
+done
+
 # 5) serving-layer throughput/latency after the round-3 fix
 run_step bench_serving_r3 2400 python scripts/bench_serving.py \
   --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \

@@ -63,6 +63,19 @@ def test_train_interp_levels_bootstrap(tmp_run):
                  "--bootstrap_ckpt", kp_ckpt, "--bootstrap_ddim_steps", "3",
                  "--steps", "2", "--save_every", "2", "--out_dir", out])
     assert os.path.exists(os.path.join(out, "ckpt_2"))
+    # best-of bootstrap: student anchors drawn from the sampler's
+    # best-of-N/dp distribution (both selection modes)
+    for mode in ("dp", "collision"):
+        out_bo = str(tmp_run / f"il_boot_{mode}")
+        main(TINY + ["--K_min", "4", "--levels", "2", "--mode", "adj",
+                     "--bootstrap_ckpt", kp_ckpt, "--bootstrap_ddim_steps", "3",
+                     "--bootstrap_best_of", "3",
+                     "--bootstrap_best_of_mode", mode,
+                     "--bootstrap_warmup_steps", "1",
+                     "--steps", "2", "--save_every", "2", "--out_dir", out_bo])
+        import json
+        meta = json.load(open(os.path.join(out_bo, "ckpt_2", "meta.json")))
+        assert meta["meta"]["bootstrap_best_of"] == 3
 
 
 def test_generate_causal_pipeline(tmp_run):
