@@ -125,6 +125,18 @@ run_step bench_serving_r3 2400 python scripts/bench_serving.py \
   --requests 256 --concurrency 16 --rows_per_request 4 \
   --out_json runs/tpu_rundown/bench_serving_r3.json
 
+# 6) from-scratch tiny-WanDiT wansynth Phase-1 + anchors + Phase-2 + flow
+#    interpolator on the real chip (VERDICT round-3 item 6b: prove the full
+#    video path TRAINS, with loss curves + interpolator eval recorded).
+#    Dense attention: at this tiny geometry (21x8x8 = 1344 tokens) the
+#    block-sparse kernels degenerate to ~1 block per row.
+run_step wansynth_tiny 10800 env OUT=runs/wansynth_tiny \
+  STEPS=800 NUM_SAMPLES=256 BATCH=2 GRAD_ACCUM=2 K=5 LEVELS=2 \
+  ATTN=dense LORA_RANK=0 SAVE_EVERY=800 FLOW_STEPS=800 \
+  EXTRA_DATA_ARGS="--latent_c 8 --latent_h 16 --latent_w 16 --text_len 16 --text_dim 256" \
+  EXTRA_WAN_ARGS="--wan_dim 256 --wan_layers 6 --wan_heads 4 --wan_ffn 1024" \
+  bash scripts/pipelines/run_wansynth_full.sh
+
 # 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (round-1
 #    VERDICT item, still dataless — now on the FIXED D=2 checkpoints).
 for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
