@@ -202,10 +202,15 @@ class GenerationService:
         idx = jnp.asarray(sample_idx_policy(
             rng, self._idx_policy, nb, self.T, self.K, None, 0.0))
         key = jax.random.PRNGKey(seed)
+        # The lock covers only the (async) dispatch: JAX enqueues the compiled
+        # program and returns immediately, so concurrent requests pipeline —
+        # request B's dispatch and host prep overlap request A's device
+        # compute and device→host pull. The pull (np.asarray below) is the
+        # real completion barrier (block_until_ready does not block through
+        # a tunneled backend) and is thread-safe outside the lock.
         with self._lock:
             x_interp, x_refined, z_pred = self._pipeline(
                 self._kp_params, self._it_params, key, idx, cond)[:3]
-            x_refined.block_until_ready()
         return {
             "interp": np.asarray(x_interp, np.float32)[:B],
             "refined": np.asarray(x_refined, np.float32)[:B],
