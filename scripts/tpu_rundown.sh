@@ -75,6 +75,28 @@ run_step d4rl_r3_sample_fora 3600 python -m \
   --pos_clip 1 --num_batches 8 --batch 64 \
   --sanity 1 --out_dir runs/d4rl_r3/samples_fora2
 
+# 3c2) refined-collision ablation: the headline run's refined MSE beats
+#      interp (0.001048 vs 0.001153) but refined COLLISION is +0.021 and
+#      smoothness is 27× worse — consistent with the level-tied sampling
+#      noise (σ=0.003/level) pushing points into walls. A/B: noise off, and
+#      noise off + late soft anchor clamp.
+run_step d4rl_r3_sample_nonoise 3600 python -m \
+  interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
+  --dataset prepared --prepared_path runs/d4rl_r3/prep/eval_dp.npz \
+  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r3/dphi \
+  --s2_noise_mode none \
+  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
+  --sanity 1 --out_dir runs/d4rl_r3/samples_nonoise
+run_step d4rl_r3_sample_nonoise_softclamp 3600 python -m \
+  interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
+  --dataset prepared --prepared_path runs/d4rl_r3/prep/eval_dp.npz \
+  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r3/dphi \
+  --s2_noise_mode none --soft_anchor_clamp 1 \
+  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
+  --sanity 1 --out_dir runs/d4rl_r3/samples_nonoise_softclamp
+
 # 3d) best-of-N Stage-1 anchors at the headline config (the anchor-gap
 #     closer measured on maze in docs/RESULTS.md)
 run_step d4rl_r3_sample_bestof16 5400 python -m \
