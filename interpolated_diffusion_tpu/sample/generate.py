@@ -703,6 +703,11 @@ def check_summary_sanity(summary: Dict[str, float]) -> Dict:
     def g(k):
         return summary.get(k)
 
+    # bare-key variant (the causal sampler's summary has no interp/refined
+    # split — one generated trajectory per sample)
+    bm = g("mse_to_gt")
+    if bm is not None and bm > 5.0:
+        failures.append(f"mse_to_gt={bm:.3f} > 5.0")
     for pre in ("", "oracle_"):
         im, rm = g(f"{pre}interp_mse_to_gt"), g(f"{pre}refined_mse_to_gt")
         ic, rc = g(f"{pre}interp_collision_rate"), g(f"{pre}refined_collision_rate")

@@ -277,6 +277,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--clamp_dims", type=str, default="pos", choices=["pos", "all"])
     p.add_argument("--sample_seed", type=int, default=1234)
     p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--sanity", type=int, default=0,
+                   help="exit non-zero when the summary trips the hard "
+                        "quality thresholds (generate.check_summary_sanity)")
     p.add_argument("--out_dir", type=str, default="runs/samples_causal")
     p.add_argument("--save_chunks", type=int, default=0,
                    help="export per-chunk frames (PNG + GIF) for sample 0 of "
@@ -364,9 +367,18 @@ def main(argv=None):
                if k not in ("batch", "sample")}
     if n_total:
         summary["samples_per_sec"] = n_total / t_total
+    from .generate import check_summary_sanity
+
+    sanity = check_summary_sanity(summary)
+    summary["sanity"] = sanity
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print("summary:", json.dumps(summary, indent=2))
+    if sanity["failures"] and getattr(args, "sanity", 0):
+        import sys
+
+        print("SANITY FAILED:", "; ".join(sanity["failures"]), file=sys.stderr)
+        sys.exit(2)
     return summary
 
 
