@@ -34,7 +34,11 @@ def _best(kernel: str, prefer: str) -> Optional[Tuple[int, int]]:
     if not path:
         return None
     cfg = _load(path).get(kernel, {})
-    tag = cfg.get(prefer) or cfg.get("best_fwd") or cfg.get("best_grad")
+    # No cross-fallback: a best_fwd winner may have an UNCOMPILABLE backward
+    # (the sweep retries forward-only on grad failure), so a training-time
+    # prefer="best_grad" lookup must fall back to the built-in defaults, not
+    # to the forward winner.
+    tag = cfg.get(prefer)
     if not tag:
         return None
     try:
@@ -55,11 +59,23 @@ def flash_blocks(default_m: int = 512, default_n: int = 1024,
 
 
 def sla_blocks(default: int = 256, quant: str = "none",
-               prefer: str = "best_grad") -> int:
+               prefer: str = "best_grad", L: Optional[int] = None) -> int:
     """Square (block_q = block_k) size for the block-sparse SLA kernels:
     tuned winner from the 'sla' (bf16) or 'sage_sla' (int8) sweep, else the
     default. Consulted by WanDiT's attn_mode dispatch so ALL tuned kernels —
-    not just flash — read the registry (VERDICT round-3 item 8)."""
+    not just flash — read the registry (VERDICT round-3 item 8).
+
+    Unlike flash block sizes (exact at any config), the SLA block size sets
+    the top-k block-map GRANULARITY — different block = different attended
+    blocks = different outputs. The tuned value therefore only applies when
+    the caller's sequence length L keeps the block map non-degenerate at the
+    tuned size (>= 8 key blocks per row, the regime the 33k sweep measured);
+    short-L callers keep their configured default."""
     kern = "sage_sla" if quant == "int8" else "sla"
     got = _best(kern, prefer)
-    return got[0] if got else default
+    if not got:
+        return default
+    blk = got[0]
+    if L is not None and L < 8 * blk:
+        return default
+    return blk

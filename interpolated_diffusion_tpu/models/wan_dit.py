@@ -199,7 +199,7 @@ class WanAttention(nn.Module):
             from ..kernels.tuning import sla_blocks
 
             quant = "int8" if self.attn_mode == "sage_sla" else "none"
-            blk = sla_blocks(default=self.sla_block, quant=quant)
+            blk = sla_blocks(default=self.sla_block, quant=quant, L=L)
             out = SparseLinearAttention(
                 head_dim=Dh, topk=self.sla_topk,
                 block_q=blk, block_k=blk,

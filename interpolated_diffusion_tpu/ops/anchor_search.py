@@ -45,27 +45,32 @@ def dp_mix_anchors(z_cands: jnp.ndarray, idx: jnp.ndarray, occ: jnp.ndarray,
     ni, nj, noob = _pos_to_cell(z_cands[..., :2], h, w)
     node = ((occ[b_ix[None, :, None], ni, nj] > 0.5) | noob).astype(jnp.float32)
 
-    # edge costs: strict-interior frames of each segment's lerp, for all
-    # (left cand a, right cand c) pairs: [B, K-1, N, N]
+    # edge costs per segment, computed INSIDE the DP loop so peak transients
+    # stay O(B·N²·T) instead of O(B·K·N²·T): this now also runs inside the
+    # Stage-2 trainer's best-of bootstrap at batch 256 / N=16, where the
+    # all-segments tensor was ~235 MB of points plus index/hit arrays.
     gap = (idx[:, 1:] - idx[:, :-1]).astype(jnp.float32)        # [B, K-1]
     offs = jnp.arange(T, dtype=jnp.float32)                     # [T]
-    alpha = offs[None, None, :] / jnp.maximum(gap[..., None], 1.0)
-    interior = (offs[None, None, :] > 0) & (offs[None, None, :]
-                                            < gap[..., None])   # [B, K-1, T]
-    pa = jnp.transpose(z_cands[..., :-1, :2], (1, 2, 0, 3))     # [B, K-1, N, 2]
-    pc = jnp.transpose(z_cands[..., 1:, :2], (1, 2, 0, 3))
-    # pts[b, s, a, c, t, 2]
-    pts = (pa[:, :, :, None, None, :] * (1.0 - alpha[:, :, None, None, :, None])
-           + pc[:, :, None, :, None, :] * alpha[:, :, None, None, :, None])
-    pi, pj, poob = _pos_to_cell(pts, h, w)
-    hit = (occ[b_ix[:, None, None, None, None], pi, pj] > 0.5) | poob
-    edge = (hit & interior[:, :, None, None, :]).sum(axis=-1).astype(jnp.float32)
+
+    def _edge(s):
+        """Interior-lerp collision counts for segment s: [B, N_a, N_c]."""
+        g = gap[:, s]                                            # [B]
+        alpha = offs[None, :] / jnp.maximum(g[:, None], 1.0)     # [B, T]
+        interior = (offs[None, :] > 0) & (offs[None, :] < g[:, None])
+        pa = jnp.transpose(z_cands[:, :, s, :2], (1, 0, 2))      # [B, N, 2]
+        pc = jnp.transpose(z_cands[:, :, s + 1, :2], (1, 0, 2))
+        # pts[b, a, c, t, 2]
+        pts = (pa[:, :, None, None, :] * (1.0 - alpha[:, None, None, :, None])
+               + pc[:, None, :, None, :] * alpha[:, None, None, :, None])
+        pi, pj, poob = _pos_to_cell(pts, h, w)
+        hit = (occ[b_ix[:, None, None, None], pi, pj] > 0.5) | poob
+        return (hit & interior[:, None, None, :]).sum(-1).astype(jnp.float32)
 
     # forward DP over the chain (K static → python loop stays traceable)
     V = node[:, :, 0].T                                          # [B, N]
     back = []
     for s in range(K - 1):
-        tot = V[:, :, None] + edge[:, s]                         # [B, N_a, N_c]
+        tot = V[:, :, None] + _edge(s)                           # [B, N_a, N_c]
         back.append(jnp.argmin(tot, axis=1))                     # [B, N_c]
         V = jnp.min(tot, axis=1) + node[:, :, s + 1].T
     choice = [jnp.argmin(V, axis=1)]                             # last anchor

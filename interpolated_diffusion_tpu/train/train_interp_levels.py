@@ -354,6 +354,10 @@ def make_bootstrap_sampler(args, data_dim: int):
         from ..ops.ddpm import run_solver
 
         x0c = getattr(args, "bootstrap_x0_clip", 0.0)
+        # the serving sampler pos-clips the INITIAL noise state before the
+        # first model eval (sample/generate.py stage1) — match it so the
+        # scheduled-sampling anchors come from the served distribution
+        z = post(z)
         z, _ = run_solver(getattr(args, "bootstrap_solver", "ddim"),
                           eps_fn, z, times, kp_schedule, post=post,
                           x0_clip=x0c if (x0c and not logit_space) else None)

@@ -65,20 +65,20 @@ def sweep(name, fn, configs, make_args, iters, report):
     rows = {}
     for cfg in configs:
         tag = "x".join(str(c) for c in cfg)
+        # fwd+bwd: differentiate w.r.t. q, k AND v so DCE can't drop any
+        # of the backward kernels, and fold the three grads into one
+        # array so _timed's scalar pull covers them all (defined OUTSIDE the
+        # try so the retry path can reuse it after a forward failure)
+        def _grad_all(*a, _c=cfg):
+            grads = jax.grad(
+                lambda q, k, v, *rest: fn(q, k, v, *rest, *_c)
+                .astype(jnp.float32).mean(),
+                argnums=(0, 1, 2))(*a)
+            return grads[0] + grads[1] + grads[2]
+
         try:
             fwd = _timed(jax.jit(lambda *a, _c=cfg: fn(*a, *_c)),
                          *make_args(cfg), iters=iters)
-
-            # fwd+bwd: differentiate w.r.t. q, k AND v so DCE can't drop any
-            # of the backward kernels, and fold the three grads into one
-            # array so _timed's scalar pull covers them all
-            def _grad_all(*a, _c=cfg):
-                grads = jax.grad(
-                    lambda q, k, v, *rest: fn(q, k, v, *rest, *_c)
-                    .astype(jnp.float32).mean(),
-                    argnums=(0, 1, 2))(*a)
-                return grads[0] + grads[1] + grads[2]
-
             step = _timed(jax.jit(_grad_all), *make_args(cfg), iters=iters)
             rows[tag] = {"fwd_s": round(fwd, 4), "grad_s": round(step, 4)}
             print(f"[{name}] {tag}: fwd {fwd:.4f}s grad {step:.4f}s",
@@ -89,9 +89,21 @@ def sweep(name, fn, configs, make_args, iters, report):
             try:
                 fwd = _timed(jax.jit(lambda *a, _c=cfg: fn(*a, *_c)),
                              *make_args(cfg), iters=iters)
-                rows[tag] = {"fwd_s": round(fwd, 4),
-                             "retried": f"{type(e).__name__}"}
-                print(f"[{name}] {tag}: fwd {fwd:.4f}s (retry ok)", flush=True)
+                row = {"fwd_s": round(fwd, 4), "retried": f"{type(e).__name__}"}
+                # retry the backward too: a config whose grad deterministically
+                # fails to lower must be visibly grad-unsupported (it stays out
+                # of best_grad; tuning._best no longer falls back across bests)
+                try:
+                    step = _timed(jax.jit(_grad_all), *make_args(cfg),
+                                  iters=iters)
+                    row["grad_s"] = round(step, 4)
+                except Exception as eg:
+                    row["grad_unsupported"] = _ANSI.sub(
+                        "", f"{type(eg).__name__}: {eg}")[:160]
+                rows[tag] = row
+                print(f"[{name}] {tag}: fwd {fwd:.4f}s (retry ok, "
+                      f"grad={'ok' if 'grad_s' in row else 'unsupported'})",
+                      flush=True)
             except Exception as e2:
                 reason = _ANSI.sub("", f"{type(e2).__name__}: {e2}")[:160]
                 rows[tag] = {"unsupported": reason}

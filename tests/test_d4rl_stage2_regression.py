@@ -18,8 +18,11 @@ import numpy as np
 import pytest
 
 
-def _synth_prepared(path, N=256, T=128, h=9, w=9, seed=0):
-    """Smooth 2D trajectories + fd-convention velocities on an open grid."""
+def _synth_prepared(path=None, N=256, T=128, h=9, w=9, seed=0):
+    """Smooth 2D trajectories + fd-convention velocities on an open grid.
+
+    path=None returns the array without writing anywhere (no stray files
+    outside pytest tmp dirs, no cross-run races on a shared path)."""
     rng = np.random.RandomState(seed)
     t = np.linspace(0.0, 1.0, T)[None, :]
     a = rng.uniform(0.15, 0.35, (N, 1))
@@ -34,7 +37,8 @@ def _synth_prepared(path, N=256, T=128, h=9, w=9, seed=0):
     occ = np.zeros((N, 1, h, w), np.float32)
     occ[:, :, 0, :] = occ[:, :, -1, :] = occ[:, :, :, 0] = occ[:, :, :, -1] = 1.0
     sg = np.concatenate([pos[:, 0], pos[:, -1]], axis=-1)
-    np.savez_compressed(path, x=xout, occ=occ, start_goal=sg)
+    if path is not None:
+        np.savez_compressed(path, x=xout, occ=occ, start_goal=sg)
     return xout
 
 
@@ -52,7 +56,7 @@ def test_stage2_targets_bounded_t128_d4():
         build_interp_adjacent_batch,
     )
 
-    x0 = jnp.asarray(_synth_prepared("/tmp/_reg_prep_unused.npz", N=32))
+    x0 = jnp.asarray(_synth_prepared(N=32))
     B, T, D = x0.shape
     key = jax.random.PRNGKey(0)
     idx, _ = sample_fixed_k_indices_uniform_batch(key, B, T, 8)
