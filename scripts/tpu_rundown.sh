@@ -165,7 +165,7 @@ for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
            "selector:0.7,uniform:0.2,random:0.1" \
            "dp:0.7,uniform:0.2,random:0.1"; do
   tag=$(echo "$MIX" | tr ':,.' '___')
-  run_step "idxmix_r3_${tag}" 9000 env BASE=runs/d4rl_r3 STEPS=20000 \
+  run_step "idxmix_r3_${tag}" 6000 env BASE=runs/d4rl_r3 STEPS=12000 \
     MIXES="$MIX" bash scripts/pipelines/run_stage1_idxmix_ablation.sh
 done
 
