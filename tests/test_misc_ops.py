@@ -164,3 +164,29 @@ def test_multi_step_applies_grad_accum():
                                np.asarray(s2.params["w"]), atol=1e-6)
     # aux metrics are averaged and never clobber loss/grad_norm
     assert "aux_mse" in m2 and "loss" in m2 and "grad_norm" in m2
+
+
+def test_tuning_registry_guards(tmp_path, monkeypatch):
+    """Tuned SLA blocks must not apply to short-L callers (block-map
+    granularity changes outputs), and a training-time best_grad lookup must
+    not fall back to a forward-only winner (its backward may not compile)."""
+    import json
+
+    from interpolated_diffusion_tpu.kernels import tuning
+
+    reg = {
+        "flash": {"best_fwd": "256x512", "best_grad": None},
+        "sla": {"best_fwd": "512x512", "best_grad": "512x512"},
+    }
+    p = tmp_path / "tune.json"
+    p.write_text(json.dumps(reg))
+    monkeypatch.setenv("ID_TPU_ATTN_TUNE", str(p))
+    tuning._load.cache_clear()
+
+    # long-L: tuned SLA block applies; short-L: configured default survives
+    assert tuning.sla_blocks(default=128, L=32760) == 512
+    assert tuning.sla_blocks(default=128, L=1344) == 128
+    # best_grad is null for flash -> defaults, NOT the best_fwd winner
+    assert tuning.flash_blocks(default_m=512, default_n=1024) == (512, 1024)
+    assert tuning.flash_blocks(prefer="best_fwd") == (256, 512)
+    tuning._load.cache_clear()
