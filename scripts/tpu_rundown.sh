@@ -1,7 +1,8 @@
 #!/usr/bin/env bash
 # Round-3 TPU work queue. Each step logs under runs/tpu_rundown and failures
 # don't stop later steps. Safe to re-run; finished steps are skipped via
-# their marker files.
+# their marker files. Keep this file under 8 KB: bash buffers the whole
+# script at launch only then, making edits-while-running safe.
 set -u
 cd "$(dirname "$0")/.."
 LOG=runs/tpu_rundown
@@ -18,10 +19,8 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
   fi
 }
 
-# 0) rebuild the trained maze checkpoints every consumer below uses — runs/
-#    is gitignored, so a workspace reset drops them. Recipe = the recorded
-#    quality runs (docs/RESULTS.md): Stage-1 10k steps on the DP idx mix,
-#    Stage-2 20k steps at the winning small dist-noise sigma 0.02.
+# 0) rebuild the trained maze checkpoints every consumer below uses (runs/ is
+#    gitignored). Recipe = the recorded quality runs in docs/RESULTS.md.
 run_step maze_prep 3600 python -m \
   interpolated_diffusion_tpu.data.prepare_dp_keypoints \
   --out_path runs/maze_q10k/prep/dp.npz --T 64 --K 8 --num_samples 20000 \
@@ -39,11 +38,8 @@ run_step maze_il 14400 python -m \
   --bootstrap_ckpt runs/maze_q10k/kp \
   --steps 20000 --batch 256 --out_dir runs/maze_q10k/il_20k_s002
 
-# 3) D4RL T=128 unified at the reference's winning recipe — round-3 gate.
-#    D=2 (positions only, the reference's actual winning config), w_anchor
-#    0.1, pos-clipped bootstrap. Fresh OUT; only the raw episode synthesis
-#    (ep_*.npz, the slow CPU stage) is reused — windows/unified/DP REBUILD
-#    because the data dims changed (D=4 -> D=2).
+# 1) D4RL T=128 unified at the reference's winning recipe (round-3 gate):
+#    D=2 positions-only, w_anchor 0.1, pos-clipped bootstrap.
 if [ ! -d runs/d4rl_r3/prep ]; then
   mkdir -p runs/d4rl_r3/prep
   ls runs/d4rl_r2/prep/ep_*.npz >/dev/null 2>&1 && \
@@ -52,8 +48,6 @@ fi
 run_step d4rl_r3_unified 28800 env OUT=runs/d4rl_r3 S2_STEPS=10000 \
   bash scripts/pipelines/run_d4rl_unified.sh
 
-# 3b) the same checkpoints sampled with selector-driven Stage-1 indices
-#     (the reference's unified-DP sampling mode) for the recipe comparison
 run_step d4rl_r3_sample_selector 3600 python -m \
   interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
@@ -64,7 +58,6 @@ run_step d4rl_r3_sample_selector 3600 python -m \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
   --sanity 1 --out_dir runs/d4rl_r3/samples_selector
 
-# 3c) FORA-cached Stage-1 sampling: quality + throughput vs the exact run
 run_step d4rl_r3_sample_fora 3600 python -m \
   interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
@@ -75,11 +68,24 @@ run_step d4rl_r3_sample_fora 3600 python -m \
   --pos_clip 1 --num_batches 8 --batch 64 \
   --sanity 1 --out_dir runs/d4rl_r3/samples_fora2
 
-# 3c2) refined-collision ablation: the headline run's refined MSE beats
-#      interp (0.001048 vs 0.001153) but refined COLLISION is +0.021 and
-#      smoothness is 27× worse — consistent with the level-tied sampling
-#      noise (σ=0.003/level) pushing points into walls. A/B: noise off, and
-#      noise off + late soft anchor clamp.
+run_step d4rl_r3_sample_bestof16 5400 python -m \
+  interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
+  --dataset prepared --prepared_path runs/d4rl_r3/prep/eval_dp.npz \
+  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r3/dphi \
+  --stage1_best_of 16 --stage1_best_of_mode dp --stage1_cache_interval 2 \
+  --s2_noise_mode level --s2_noise_sigma 0.003 \
+  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
+  --sanity 1 --out_dir runs/d4rl_r3/samples_bestof16
+
+# 2) bench regression gate (the driver's metric) + kernel oracle pass
+run_step bench_r3 2400 python bench.py
+run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
+
+# 3) refined-collision ablation: headline refined MSE beats interp but
+#    refined collision is +0.021 with 27x worse smoothness — consistent with
+#    the level-tied sampling noise pushing points into walls. A/B: noise off,
+#    and noise off + late soft anchor clamp.
 run_step d4rl_r3_sample_nonoise 3600 python -m \
   interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
@@ -97,30 +103,19 @@ run_step d4rl_r3_sample_nonoise_softclamp 3600 python -m \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
   --sanity 1 --out_dir runs/d4rl_r3/samples_nonoise_softclamp
 
-# 3d) best-of-N Stage-1 anchors at the headline config (the anchor-gap
-#     closer measured on maze in docs/RESULTS.md)
-run_step d4rl_r3_sample_bestof16 5400 python -m \
-  interpolated_diffusion_tpu.sample.generate \
-  --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
-  --dataset prepared --prepared_path runs/d4rl_r3/prep/eval_dp.npz \
-  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r3/dphi \
-  --stage1_best_of 16 --stage1_best_of_mode dp --stage1_cache_interval 2 \
-  --s2_noise_mode level --s2_noise_sigma 0.003 \
-  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
-  --sanity 1 --out_dir runs/d4rl_r3/samples_bestof16
+# 4) serving-layer throughput/latency after the round-3 pipelining fix
+run_step bench_serving_r3 2400 python scripts/bench_serving.py \
+  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
+  --prepared_path runs/maze_q10k/prep/dp.npz \
+  --requests 256 --concurrency 16 --rows_per_request 4 \
+  --out_json runs/tpu_rundown/bench_serving_r3.json
 
-# 1) bench regression gate (the driver's metric) + batch sweep
-run_step bench_r3 2400 python bench.py
-run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
-
-# 2) real-TPU kernel oracle pass + autotune retry (VERDICT weak #8)
-run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
+# 5) autotune retry (VERDICT weak #8)
 run_step autotune_attn_r3 3600 python scripts/autotune_attention.py
 
-# 4b) Stage-2 that earns its place under the BEST sampler (VERDICT weak #2):
-#     train with bootstrap anchors drawn from the dp best-of-16 distribution
-#     (the sampler's own selection), then A/B both checkpoints under
-#     dp best-of-16 sampling. Done = refined <= interp on the best path.
+# 6) Stage-2 that earns its place under the BEST sampler (VERDICT weak #2):
+#    train on bootstrap anchors drawn from the dp best-of-16 distribution,
+#    then A/B both checkpoints under dp best-of-16 sampling.
 run_step maze_il_boot16 14400 python -m \
   interpolated_diffusion_tpu.train.train_interp_levels \
   --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz --T 64 \
@@ -140,18 +135,9 @@ for ILV in il_20k_s002 il_boot16; do
     --out_dir "runs/maze_q10k/samples_bestof16_${ILV}"
 done
 
-# 5) serving-layer throughput/latency after the round-3 fix
-run_step bench_serving_r3 2400 python scripts/bench_serving.py \
-  --kp_ckpt runs/maze_q10k/kp --interp_ckpt runs/maze_q10k/il_20k_s002 \
-  --prepared_path runs/maze_q10k/prep/dp.npz \
-  --requests 256 --concurrency 16 --rows_per_request 4 \
-  --out_json runs/tpu_rundown/bench_serving_r3.json
-
-# 6) from-scratch tiny-WanDiT wansynth Phase-1 + anchors + Phase-2 + flow
-#    interpolator on the real chip (VERDICT round-3 item 6b: prove the full
-#    video path TRAINS, with loss curves + interpolator eval recorded).
-#    Dense attention: at this tiny geometry (21x8x8 = 1344 tokens) the
-#    block-sparse kernels degenerate to ~1 block per row.
+# 7) from-scratch tiny-WanDiT wansynth full pipeline on the real chip
+#    (VERDICT item 6b: prove the video path TRAINS). Dense attention: at
+#    21x8x8=1344 tokens block-sparse degenerates to ~1 block per row.
 run_step wansynth_tiny 10800 env OUT=runs/wansynth_tiny \
   STEPS=800 NUM_SAMPLES=256 BATCH=2 GRAD_ACCUM=2 K=5 LEVELS=2 \
   ATTN=dense LORA_RANK=0 SAVE_EVERY=800 FLOW_STEPS=800 \
@@ -159,8 +145,8 @@ run_step wansynth_tiny 10800 env OUT=runs/wansynth_tiny \
   EXTRA_WAN_ARGS="--wan_dim 256 --wan_layers 6 --wan_heads 4 --wan_ffn 1024" \
   bash scripts/pipelines/run_wansynth_full.sh
 
-# 4) Stage-1 idx-policy-mix ablation against the same Stage-2 (round-1
-#    VERDICT item, still dataless — now on the FIXED D=2 checkpoints).
+# 8) Stage-1 idx-policy-mix ablation against the same Stage-2 (round-1
+#    VERDICT item, still dataless — on the FIXED D=2 checkpoints).
 for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
            "selector:0.7,uniform:0.2,random:0.1" \
            "dp:0.7,uniform:0.2,random:0.1"; do
@@ -168,5 +154,8 @@ for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
   run_step "idxmix_r3_${tag}" 6000 env BASE=runs/d4rl_r3 STEPS=12000 \
     MIXES="$MIX" bash scripts/pipelines/run_stage1_idxmix_ablation.sh
 done
+
+# 9) batch sweep (validates the bench B=256 config)
+run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
 
 echo "rundown complete $(date)"
