@@ -19,8 +19,7 @@ run_step() {  # run_step <name> <timeout_s> <cmd...>
   fi
 }
 
-# 0) rebuild the trained maze checkpoints every consumer below uses (runs/ is
-#    gitignored). Recipe = the recorded quality runs in docs/RESULTS.md.
+# 0) rebuild the maze checkpoints (runs/ is gitignored); docs/RESULTS.md recipe
 run_step maze_prep 3600 python -m \
   interpolated_diffusion_tpu.data.prepare_dp_keypoints \
   --out_path runs/maze_q10k/prep/dp.npz --T 64 --K 8 --num_samples 20000 \
@@ -38,8 +37,7 @@ run_step maze_il 14400 python -m \
   --bootstrap_ckpt runs/maze_q10k/kp \
   --steps 20000 --batch 256 --out_dir runs/maze_q10k/il_20k_s002
 
-# 1) D4RL T=128 unified at the reference's winning recipe (round-3 gate):
-#    D=2 positions-only, w_anchor 0.1, pos-clipped bootstrap.
+# 1) D4RL T=128 unified, reference winning recipe (round-3 gate): D=2, w_anchor 0.1
 if [ ! -d runs/d4rl_r3/prep ]; then
   mkdir -p runs/d4rl_r3/prep
   ls runs/d4rl_r2/prep/ep_*.npz >/dev/null 2>&1 && \
@@ -82,10 +80,10 @@ run_step d4rl_r3_sample_bestof16 5400 python -m \
 run_step bench_r3 2400 python bench.py
 run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
 
-# 3) refined-collision ablation: headline refined MSE beats interp but
-#    refined collision is +0.021 with 27x worse smoothness — consistent with
-#    the level-tied sampling noise pushing points into walls. A/B: noise off,
-#    and noise off + late soft anchor clamp.
+# 3) refined-collision ablation (headline refined collision is +0.021 with
+#    27x worse smoothness): noise off / noise off + late soft anchor clamp /
+#    reference-exact sampling (sigma schedule = corruption schedule from the
+#    smallnoise recipe + soft clamp 0.1, run_stage2_smallnoise_10k flags).
 run_step d4rl_r3_sample_nonoise 3600 python -m \
   interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
@@ -102,6 +100,15 @@ run_step d4rl_r3_sample_nonoise_softclamp 3600 python -m \
   --s2_noise_mode none --soft_anchor_clamp 1 \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
   --sanity 1 --out_dir runs/d4rl_r3/samples_nonoise_softclamp
+run_step d4rl_r3_sample_refexact 3600 python -m \
+  interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
+  --dataset prepared --prepared_path runs/d4rl_r3/prep/eval_dp.npz \
+  --kp_index_mode uniform --dphi_ckpt runs/d4rl_r3/dphi \
+  --s2_noise_mode level --s2_noise_sigma 0.02 --s2_sigma_min 0.003 \
+  --s2_sigma_pow 0.75 --soft_anchor_clamp 1 --soft_clamp_max 0.1 \
+  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
+  --sanity 1 --out_dir runs/d4rl_r3/samples_refexact
 
 # 4) serving-layer throughput/latency after the round-3 pipelining fix
 run_step bench_serving_r3 2400 python scripts/bench_serving.py \
@@ -113,9 +120,8 @@ run_step bench_serving_r3 2400 python scripts/bench_serving.py \
 # 5) autotune retry (VERDICT weak #8)
 run_step autotune_attn_r3 3600 python scripts/autotune_attention.py
 
-# 6) Stage-2 that earns its place under the BEST sampler (VERDICT weak #2):
-#    train on bootstrap anchors drawn from the dp best-of-16 distribution,
-#    then A/B both checkpoints under dp best-of-16 sampling.
+# 6) Stage-2 under the BEST sampler (VERDICT weak #2): train on dp best-of-16
+#    bootstrap anchors, A/B both checkpoints under dp best-of-16 sampling.
 run_step maze_il_boot16 14400 python -m \
   interpolated_diffusion_tpu.train.train_interp_levels \
   --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz --T 64 \
@@ -135,9 +141,8 @@ for ILV in il_20k_s002 il_boot16; do
     --out_dir "runs/maze_q10k/samples_bestof16_${ILV}"
 done
 
-# 7) from-scratch tiny-WanDiT wansynth full pipeline on the real chip
-#    (VERDICT item 6b: prove the video path TRAINS). Dense attention: at
-#    21x8x8=1344 tokens block-sparse degenerates to ~1 block per row.
+# 7) from-scratch tiny-WanDiT wansynth pipeline (VERDICT 6b: video path TRAINS);
+#    dense attn: block-sparse degenerates at 1344 tokens.
 run_step wansynth_tiny 10800 env OUT=runs/wansynth_tiny \
   STEPS=800 NUM_SAMPLES=256 BATCH=2 GRAD_ACCUM=2 K=5 LEVELS=2 \
   ATTN=dense LORA_RANK=0 SAVE_EVERY=800 FLOW_STEPS=800 \
@@ -145,8 +150,7 @@ run_step wansynth_tiny 10800 env OUT=runs/wansynth_tiny \
   EXTRA_WAN_ARGS="--wan_dim 256 --wan_layers 6 --wan_heads 4 --wan_ffn 1024" \
   bash scripts/pipelines/run_wansynth_full.sh
 
-# 8) Stage-1 idx-policy-mix ablation against the same Stage-2 (round-1
-#    VERDICT item, still dataless — on the FIXED D=2 checkpoints).
+# 8) Stage-1 idx-policy-mix ablation vs the same Stage-2 (round-1 VERDICT item)
 for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
            "selector:0.7,uniform:0.2,random:0.1" \
            "dp:0.7,uniform:0.2,random:0.1"; do
