@@ -127,6 +127,29 @@ class PipelineConfig:
         del self.__dict__["self"]
 
 
+def resolve_s2_noise_schedule(mode, sigma, sigma_min, sigma_pow, il_meta) -> Dict:
+    """Resolve the Stage-2 sampling-noise schedule, defaulting unset values
+    from the interp checkpoint's TRAINING corruption schedule — the
+    reference's behavior (sample_generate.py:646-659 reads
+    s2_corrupt_sigma_{max,min,pow} from args-or-interp-meta and its level
+    mode noises with that schedule, not with s2_sample_noise_sigma)."""
+    return dict(
+        s2_noise_sigma=(
+            float(sigma) if sigma is not None
+            else float(il_meta.get("corrupt_sigma_max", 0.0))
+            if mode == "level" else 0.0
+        ),
+        s2_sigma_min=(
+            float(sigma_min) if sigma_min is not None
+            else float(il_meta.get("corrupt_sigma_min", 0.0))
+        ),
+        s2_sigma_pow=(
+            float(sigma_pow) if sigma_pow is not None
+            else float(il_meta.get("corrupt_sigma_pow", 1.0))
+        ),
+    )
+
+
 def _soft_clamp_lambda(s: int, levels: int, schedule: str, max_val: float) -> float:
     if levels <= 0:
         return float(max_val)
@@ -441,7 +464,16 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--soft_clamp_max", type=float, default=0.5)
     p.add_argument("--s2_noise_mode", type=str, default="none",
                    choices=["none", "constant", "level"])
-    p.add_argument("--s2_noise_sigma", type=float, default=0.0)
+    p.add_argument("--s2_noise_sigma", type=float, default=None,
+                   help="level mode: σ_max of the per-level schedule "
+                        "(default: the interp ckpt's corrupt_sigma_max — "
+                        "the reference resolves the sampling-noise schedule "
+                        "from the training corruption schedule in meta, "
+                        "sample_generate.py:646-659); constant mode: the σ")
+    p.add_argument("--s2_sigma_min", type=float, default=None,
+                   help="level-mode σ floor (default: meta corrupt_sigma_min)")
+    p.add_argument("--s2_sigma_pow", type=float, default=None,
+                   help="level-mode σ decay power (default: meta corrupt_sigma_pow)")
     p.add_argument("--s2_noise_scale", type=float, default=1.0)
     p.add_argument("--pos_clip", type=int, default=1)
     p.add_argument("--x0_clip", type=float, default=0.0,
@@ -515,7 +547,11 @@ def main(argv=None):
         soft_anchor_clamp=bool(args.soft_anchor_clamp),
         soft_clamp_schedule=args.soft_clamp_schedule,
         soft_clamp_max=args.soft_clamp_max,
-        s2_noise_mode=args.s2_noise_mode, s2_noise_sigma=args.s2_noise_sigma,
+        s2_noise_mode=args.s2_noise_mode,
+        **resolve_s2_noise_schedule(
+            args.s2_noise_mode, args.s2_noise_sigma, args.s2_sigma_min,
+            args.s2_sigma_pow, il_meta,
+        ),
         s2_noise_scale=args.s2_noise_scale,
         pos_clip=bool(args.pos_clip),
         logit_space=bool(kp_meta.get("logit_space", 0)),

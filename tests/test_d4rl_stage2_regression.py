@@ -180,3 +180,28 @@ def test_stage2_oracle_refined_not_worse_t128_d4(tmp_path):
     assert oi < 0.5, oi
     assert orf < 0.5, (oi, orf)
     assert summary["oracle_refined_collision_rate"] < 0.5
+
+
+def test_s2_noise_schedule_resolves_from_interp_meta():
+    """Unset sampling-noise knobs default to the TRAINING corruption
+    schedule in the interp checkpoint meta (reference
+    sample_generate.py:646-659 semantics); explicit CLI values win."""
+    from interpolated_diffusion_tpu.sample.generate import (
+        resolve_s2_noise_schedule,
+    )
+
+    meta = {"corrupt_sigma_max": 0.02, "corrupt_sigma_min": 0.003,
+            "corrupt_sigma_pow": 0.75}
+    r = resolve_s2_noise_schedule("level", None, None, None, meta)
+    assert r == {"s2_noise_sigma": 0.02, "s2_sigma_min": 0.003,
+                 "s2_sigma_pow": 0.75}
+    # explicit values override the meta
+    r = resolve_s2_noise_schedule("level", 0.003, 0.0, 1.0, meta)
+    assert r == {"s2_noise_sigma": 0.003, "s2_sigma_min": 0.0,
+                 "s2_sigma_pow": 1.0}
+    # non-level modes never inherit sigma_max from the meta
+    r = resolve_s2_noise_schedule("none", None, None, None, meta)
+    assert r["s2_noise_sigma"] == 0.0
+    # constant mode uses the explicit sigma as-is
+    r = resolve_s2_noise_schedule("constant", 0.01, None, None, meta)
+    assert r["s2_noise_sigma"] == 0.01
