@@ -11,12 +11,20 @@ workloads). Computation dtype is configurable (bf16 on TPU, f32 params).
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..kernels.small_mha import SMALL_MHA_MAX_ROWS, small_mha
+
+# Small-L attention policy (env ID_TPU_SMALL_ATTN, read at trace time so
+# benchmarks can A/B it between jit builds):
+#   group — grouped tile-aligned packing, G = largest divisor of H with
+#           G*L <= 128
+#   full  — pack only when ALL heads fit 256 rows (the round-2 behavior)
+#   none  — always per-head batched attention
 
 Dtype = Any
 
@@ -88,6 +96,11 @@ def _blockdiag_group(H: int, L: int, max_rows: int = 128) -> int:
     (128 rows) runs 3.88 ms vs 11.36 dense and 5.88 at G=4 (256 rows);
     non-tile-aligned packings LOSE (G=3 → 192 rows → 13.4 ms), so the bound
     is a tile edge, not a budget."""
+    policy = os.environ.get("ID_TPU_SMALL_ATTN", "group")
+    if policy == "none":
+        return 1
+    if policy == "full":
+        return H if H * L <= 256 else 1
     G = max(1, min(H, max_rows // max(1, L)))
     while G > 1 and H % G:
         G -= 1

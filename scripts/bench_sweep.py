@@ -1,9 +1,10 @@
-"""Batch-size sweep for the e2e bench pipeline (run on the real TPU).
+"""Batch-size + small-L-attention sweep for the e2e bench pipeline.
 
 Same one-jit pipeline as bench.py (T=64, K=8, DDIM-20, stage-2 levels=3);
-sweeps the batch to find the throughput-optimal configuration. Prints one
-JSON line per batch and a final "best" line. If a batch other than
-bench.py's default wins by a margin, promote it there.
+sweeps the batch AND the ID_TPU_SMALL_ATTN packing policy (group/full/none)
+to find the throughput-optimal configuration. Prints one JSON line per
+config and a final "best" line. If a config other than bench.py's default
+wins by a margin, promote it there.
 """
 from __future__ import annotations
 
@@ -88,13 +89,25 @@ def run_one(B: int) -> float:
 
 def main():
     results = {}
+    # small-L attention policy sweep at the default batch first (cheap:
+    # the policy is read at trace time; each build is a fresh jit)
+    for policy in ("group", "full", "none"):
+        os.environ["ID_TPU_SMALL_ATTN"] = policy
+        sps = run_one(256)
+        results[(256, policy)] = sps
+        print(json.dumps({"batch": 256, "small_attn": policy,
+                          "samples_per_sec": round(sps, 2)}), flush=True)
+    best_policy = max(results, key=results.get)[1]
+    os.environ["ID_TPU_SMALL_ATTN"] = best_policy
     for B in BATCHES:
+        if (B, best_policy) in results:
+            continue
         sps = run_one(B)
-        results[B] = sps
-        print(json.dumps({"batch": B, "samples_per_sec": round(sps, 2)}),
-              flush=True)
+        results[(B, best_policy)] = sps
+        print(json.dumps({"batch": B, "small_attn": best_policy,
+                          "samples_per_sec": round(sps, 2)}), flush=True)
     best = max(results, key=results.get)
-    print(json.dumps({"best_batch": best,
+    print(json.dumps({"best_batch": best[0], "best_small_attn": best[1],
                       "samples_per_sec": round(results[best], 2)}))
 
 

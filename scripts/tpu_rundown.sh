@@ -79,6 +79,8 @@ run_step d4rl_r3_sample_bestof16 5400 python -m \
 # 2) bench regression gate (the driver's metric) + kernel oracle pass
 run_step bench_r3 2400 python bench.py
 run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
+# batch + small-L-attention-policy sweep (bench_r3 regressed 4615->4150)
+run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
 
 # 3) refined-collision ablation (headline refined collision is +0.021 with
 #    27x worse smoothness): noise off / noise off + late soft anchor clamp /
@@ -159,7 +161,5 @@ for MIX in "dp:1.0" "uniform:1.0" "selector:1.0" \
     MIXES="$MIX" bash scripts/pipelines/run_stage1_idxmix_ablation.sh
 done
 
-# 9) batch sweep (validates the bench B=256 config)
-run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
 
 echo "rundown complete $(date)"
