@@ -21,9 +21,13 @@ from ..kernels.small_mha import SMALL_MHA_MAX_ROWS, small_mha
 
 # Small-L attention policy (env ID_TPU_SMALL_ATTN, read at trace time so
 # benchmarks can A/B it between jit builds):
+#   full  — pack all heads into one block-diagonal matmul when H·L ≤ 256,
+#           per-head attention otherwise (DEFAULT — wins the fused e2e
+#           pipeline A/B on v5e: 4433 samples/s vs 4017 group / 3451 none)
 #   group — grouped tile-aligned packing, G = largest divisor of H with
-#           G*L <= 128
-#   full  — pack only when ALL heads fit 256 rows (the round-2 behavior)
+#           G*L <= 128: 2.9× faster than per-head for the RAW op at T=64,
+#           but a net loss inside the fused pipeline (the f32 [G·L, G·L]
+#           logits + mask materialization defeat XLA's LN/FiLM fusion)
 #   none  — always per-head batched attention
 
 Dtype = Any
@@ -96,7 +100,7 @@ def _blockdiag_group(H: int, L: int, max_rows: int = 128) -> int:
     (128 rows) runs 3.88 ms vs 11.36 dense and 5.88 at G=4 (256 rows);
     non-tile-aligned packings LOSE (G=3 → 192 rows → 13.4 ms), so the bound
     is a tile edge, not a budget."""
-    policy = os.environ.get("ID_TPU_SMALL_ATTN", "group")
+    policy = os.environ.get("ID_TPU_SMALL_ATTN", "full")
     if policy == "none":
         return 1
     if policy == "full":
