@@ -71,7 +71,7 @@ def test_transformer_small_mha_flag_matches_default_path():
 
 @pytest.mark.parametrize("L,causal", [(8, False), (16, False), (64, False),
                                       (64, True), (33, False)])
-def test_grouped_blockdiag_matches_dense(L, causal):
+def test_grouped_blockdiag_matches_dense(L, causal, monkeypatch):
     """Grouped head-packing (G heads per tile-aligned row block, static
     block-diagonal mask) is numerically identical to per-head attention for
     every group size the dispatch can pick."""
@@ -82,6 +82,9 @@ def test_grouped_blockdiag_matches_dense(L, causal):
     from interpolated_diffusion_tpu.models.transformer import (
         _blockdiag_group, dense_attention, dense_attention_blockdiag)
 
+    # the grouped policy (non-default since the round-3 e2e A/B: 'full'
+    # wins the fused pipeline; 'group' stays available for raw-op uses)
+    monkeypatch.setenv("ID_TPU_SMALL_ATTN", "group")
     B, H, Dh = 3, 12, 32
     ks = jax.random.split(jax.random.PRNGKey(L), 3)
     q, k, v = (jax.random.normal(kk, (B, H, L, Dh)) for kk in ks)
@@ -96,3 +99,21 @@ def test_grouped_blockdiag_matches_dense(L, causal):
         out_full = dense_attention_blockdiag(q, k, v, causal=causal)
         np.testing.assert_allclose(np.asarray(out_full), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_small_attn_policy_dispatch(monkeypatch):
+    """The trace-time policy env picks the documented group sizes."""
+    from interpolated_diffusion_tpu.models.transformer import _blockdiag_group
+
+    monkeypatch.setenv("ID_TPU_SMALL_ATTN", "full")
+    assert _blockdiag_group(12, 8) == 12    # H*L=96  <= 256: full pack
+    assert _blockdiag_group(12, 16) == 12   # H*L=192 <= 256: full pack
+    assert _blockdiag_group(12, 64) == 1    # H*L=768 > 256: per-head
+    monkeypatch.setenv("ID_TPU_SMALL_ATTN", "group")
+    assert _blockdiag_group(12, 64) == 2    # G*L = 128 = one tile edge
+    assert _blockdiag_group(12, 33) == 3
+    monkeypatch.setenv("ID_TPU_SMALL_ATTN", "none")
+    assert _blockdiag_group(12, 8) == 1
+    monkeypatch.delenv("ID_TPU_SMALL_ATTN")
+    assert _blockdiag_group(12, 8) == 12    # default policy = full
+    assert _blockdiag_group(12, 64) == 1
