@@ -82,10 +82,8 @@ run_step kernels_r3 2400 python scripts/verify_kernel_tpu.py
 # batch + small-L-attention-policy sweep (bench_r3 regressed 4615->4150)
 run_step bench_sweep_r3 3600 python scripts/bench_sweep.py
 
-# 3) refined-collision ablation (headline refined collision is +0.021 with
-#    27x worse smoothness): noise off / noise off + late soft anchor clamp /
-#    reference-exact sampling (sigma schedule = corruption schedule from the
-#    smallnoise recipe + soft clamp 0.1, run_stage2_smallnoise_10k flags).
+# 3) refined-collision ablation: noise off / +soft clamp / reference-exact
+#    sampling (corruption-schedule sigma + soft clamp 0.1).
 run_step d4rl_r3_sample_nonoise 3600 python -m \
   interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt runs/d4rl_r3/kp --interp_ckpt runs/d4rl_r3/il \
@@ -122,8 +120,7 @@ run_step bench_serving_r3 2400 python scripts/bench_serving.py \
 # 5) autotune retry (VERDICT weak #8)
 run_step autotune_attn_r3 3600 python scripts/autotune_attention.py
 
-# 6) Stage-2 under the BEST sampler (VERDICT weak #2): train on dp best-of-16
-#    bootstrap anchors, A/B both checkpoints under dp best-of-16 sampling.
+# 6) Stage-2 under the BEST sampler (VERDICT weak #2), maze:
 run_step maze_il_boot16 14400 python -m \
   interpolated_diffusion_tpu.train.train_interp_levels \
   --dataset prepared --prepared_path runs/maze_q10k/prep/dp.npz --T 64 \
@@ -142,6 +139,10 @@ for ILV in il_20k_s002 il_boot16; do
     --compare_oracle 1 --num_batches 8 --batch 64 --sanity 1 \
     --out_dir "runs/maze_q10k/samples_bestof16_${ILV}"
 done
+
+# 6b) same experiment on the headline dataset (D4RL):
+run_step d4rl_il_boot16 14400 env BASE=runs/d4rl_r3 \
+  bash scripts/pipelines/run_d4rl_stage2_boot16.sh
 
 # 7) from-scratch tiny-WanDiT wansynth pipeline (VERDICT 6b: video path TRAINS);
 #    dense attn: block-sparse degenerates at 1344 tokens.
