@@ -31,6 +31,8 @@ $RUNNER interpolated_diffusion_tpu.train.train_interp_levels \
   --bootstrap_warmup_steps "${BOOT_WARMUP:-2000}" \
   --steps "$S2_STEPS" --batch "$BATCH" --out_dir "$BASE/il_boot16"
 
+# A/B 1: sampling identical to samples_bestof16 (level noise) — isolates
+# the training-distribution effect
 $RUNNER interpolated_diffusion_tpu.sample.generate \
   --kp_ckpt "$BASE/kp" --interp_ckpt "$BASE/il_boot16" \
   --dataset prepared --prepared_path "$BASE/prep/eval_dp.npz" \
@@ -39,6 +41,28 @@ $RUNNER interpolated_diffusion_tpu.sample.generate \
   --s2_noise_mode level --s2_noise_sigma 0.003 \
   --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
   --sanity 1 --out_dir "$BASE/samples_bestof16_boot16"
+
+# A/B 2: the ablation-winning sampling config (no noise + soft anchor
+# clamp) on the same checkpoint — the best-of-everything number
+$RUNNER interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt "$BASE/kp" --interp_ckpt "$BASE/il_boot16" \
+  --dataset prepared --prepared_path "$BASE/prep/eval_dp.npz" \
+  --kp_index_mode uniform --dphi_ckpt "$BASE/dphi" \
+  --stage1_best_of 16 --stage1_best_of_mode dp --stage1_cache_interval 2 \
+  --s2_noise_mode none --soft_anchor_clamp 1 \
+  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
+  --sanity 1 --out_dir "$BASE/samples_bestof16_boot16_softclamp"
+
+# A/B 3: the ORIGINAL Stage-2 under the same winning sampling config —
+# completes the {il, il_boot16} x {level-noise, softclamp} grid
+$RUNNER interpolated_diffusion_tpu.sample.generate \
+  --kp_ckpt "$BASE/kp" --interp_ckpt "$BASE/il" \
+  --dataset prepared --prepared_path "$BASE/prep/eval_dp.npz" \
+  --kp_index_mode uniform --dphi_ckpt "$BASE/dphi" \
+  --stage1_best_of 16 --stage1_best_of_mode dp --stage1_cache_interval 2 \
+  --s2_noise_mode none --soft_anchor_clamp 1 \
+  --pos_clip 1 --compare_oracle 1 --num_batches 8 --batch 64 \
+  --sanity 1 --out_dir "$BASE/samples_bestof16_softclamp"
 
 python scripts/log_experiment.py --title "d4rl stage2 boot16 under dp best-of-16" \
   --run_dir "$BASE/il_boot16" --results "$BASE/samples_bestof16_boot16/summary.json"
