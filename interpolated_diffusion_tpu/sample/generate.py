@@ -714,6 +714,9 @@ def main(argv=None):
     summary["sanity"] = sanity
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    from ..utils.run_config import archive_evidence, write_run_config
+    write_run_config(args.out_dir, args)
+    archive_evidence(args.out_dir)
     if args.save_npz:
         np.savez_compressed(
             os.path.join(args.out_dir, "samples.npz"),

@@ -170,6 +170,9 @@ def main(argv=None):
                if k_ not in ("batch", "sample")}
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    from ..utils.run_config import archive_evidence, write_run_config
+    write_run_config(args.out_dir, args)
+    archive_evidence(args.out_dir)
     np.savez_compressed(os.path.join(args.out_dir, "samples.npz"),
                         **{k_: np.concatenate(v) for k_, v in saved.items()})
     print("summary:", json.dumps(summary, indent=2))

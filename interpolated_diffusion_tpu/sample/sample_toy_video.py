@@ -190,6 +190,9 @@ def main(argv=None):
         summary["samples_per_sec"] = n_total / t_total
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    from ..utils.run_config import archive_evidence, write_run_config
+    write_run_config(args.out_dir, args)
+    archive_evidence(args.out_dir)
     if panels:
         np.savez_compressed(os.path.join(args.out_dir, "samples.npz"), **panels)
     print("summary:", json.dumps(summary, indent=2))

@@ -52,3 +52,35 @@ def write_run_config(out_dir: str, args: Any, extra: Optional[Dict] = None) -> s
     with open(path, "w") as f:
         json.dump(payload, f, indent=2, default=str)
     return path
+
+
+def archive_evidence(out_dir: str, files=("summary.json", "run_config.json"),
+                     repo_dir: Optional[str] = None) -> Optional[str]:
+    """Copy a run's summary + provenance into docs/results/<run>/ so quality
+    claims stay re-derivable after runs/ is wiped (runs/ is gitignored; the
+    round-3 review found every headline table existed only as prose).
+
+    <run> = the out_dir path relative to runs/ with separators flattened
+    (runs/d4rl_r3/samples_bestof16 → docs/results/d4rl_r3__samples_bestof16).
+    Set ID_TPU_NO_EVIDENCE=1 to skip (throwaway/debug runs).
+    Reference analogue: scripts/log_experiment.sh:1-40 (the lab notebook).
+    """
+    if os.environ.get("ID_TPU_NO_EVIDENCE"):
+        return None
+    import shutil
+
+    repo_dir = repo_dir or os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    out_abs = os.path.abspath(out_dir)
+    rel = os.path.relpath(out_abs, os.path.join(repo_dir, "runs"))
+    if rel.startswith(".."):
+        rel = os.path.basename(out_abs)
+    dest = os.path.join(repo_dir, "docs", "results", rel.replace(os.sep, "__"))
+    os.makedirs(dest, exist_ok=True)
+    copied = False
+    for name in files:
+        src = os.path.join(out_dir, name)
+        if os.path.isfile(src):
+            shutil.copyfile(src, os.path.join(dest, name))
+            copied = True
+    return dest if copied else None
