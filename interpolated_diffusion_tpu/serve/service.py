@@ -134,6 +134,7 @@ class GenerationService:
         occ: Optional[np.ndarray] = None,       # [B, 1, H, W] / [B, H, W]
         sdf: Optional[np.ndarray] = None,
         seed: int = 0,
+        timing: Optional[Dict[str, float]] = None,
     ) -> Dict[str, np.ndarray]:
         """Generate refined trajectories for B (start, goal) pairs.
 
@@ -149,6 +150,9 @@ class GenerationService:
         composition (or serve with linger 0 and bucket 1) when bitwise
         reproducibility across runs matters.
         """
+        import time as _time
+
+        t0 = _time.perf_counter()
         start_goal = np.atleast_2d(np.asarray(start_goal, np.float32))
         B = start_goal.shape[0]
         if occ is None:
@@ -191,6 +195,7 @@ class GenerationService:
         def padded(x):
             return np.concatenate([x, np.repeat(x[-1:], pad, 0)]) if pad else x
 
+        t_prep = _time.perf_counter()
         cond = {"occ": jnp.asarray(padded(occ)),
                 "start_goal": jnp.asarray(padded(start_goal))}
         if self.use_sdf:
@@ -202,6 +207,7 @@ class GenerationService:
         idx = jnp.asarray(sample_idx_policy(
             rng, self._idx_policy, nb, self.T, self.K, None, 0.0))
         key = jax.random.PRNGKey(seed)
+        t_put = _time.perf_counter()
         # The lock covers only the (async) dispatch: JAX enqueues the compiled
         # program and returns immediately, so concurrent requests pipeline —
         # request B's dispatch and host prep overlap request A's device
@@ -211,13 +217,22 @@ class GenerationService:
         with self._lock:
             x_interp, x_refined, z_pred = self._pipeline(
                 self._kp_params, self._it_params, key, idx, cond)[:3]
-        return {
+        t_dispatch = _time.perf_counter()
+        out = {
             "interp": np.asarray(x_interp, np.float32)[:B],
             "refined": np.asarray(x_refined, np.float32)[:B],
             "keypoints": np.asarray(z_pred, np.float32)[:B],
             "idx": np.asarray(idx)[:B],
             "served_batch": nb,
         }
+        if timing is not None:
+            # pull = device compute + device->host transfer (np.asarray is
+            # the real completion barrier through the tunnel)
+            timing.update(prep_s=t_prep - t0, put_s=t_put - t_prep,
+                          dispatch_s=t_dispatch - t_put,
+                          pull_s=_time.perf_counter() - t_dispatch,
+                          served_batch=nb)
+        return out
 
     def warmup(self) -> None:
         """Compile every bucket once so no live request pays a compile."""
