@@ -58,6 +58,23 @@ def flash_blocks(default_m: int = 512, default_n: int = 1024,
     return _best("flash", prefer) or (default_m, default_n)
 
 
+def small_attn_policy(default: str = "full") -> str:
+    """Small-L attention packing policy ('full' | 'group' | 'none').
+
+    One lookup consulted by EVERY small-L attention call site
+    (models/transformer.py dispatch). Resolution order: the tuned registry's
+    "small_attn" winner (written by scripts/bench_sweep.py --write_registry),
+    then the ID_TPU_SMALL_ATTN env override, then the built-in default —
+    'full' won the fused e2e A/B on v5e (4433 vs 4017 group / 3451 none,
+    docs/RESULTS.md "Small-L attention")."""
+    path = os.environ.get(_ENV)
+    if path:
+        best = _load(path).get("small_attn", {}).get("best")
+        if best in ("full", "group", "none"):
+            return best
+    return os.environ.get("ID_TPU_SMALL_ATTN", default)
+
+
 def sla_blocks(default: int = 256, quant: str = "none",
                prefer: str = "best_grad", L: Optional[int] = None) -> int:
     """Square (block_q = block_k) size for the block-sparse SLA kernels:

@@ -100,7 +100,9 @@ def _blockdiag_group(H: int, L: int, max_rows: int = 128) -> int:
     (128 rows) runs 3.88 ms vs 11.36 dense and 5.88 at G=4 (256 rows);
     non-tile-aligned packings LOSE (G=3 → 192 rows → 13.4 ms), so the bound
     is a tile edge, not a budget."""
-    policy = os.environ.get("ID_TPU_SMALL_ATTN", "full")
+    from ..kernels.tuning import small_attn_policy
+
+    policy = small_attn_policy()
     if policy == "none":
         return 1
     if policy == "full":

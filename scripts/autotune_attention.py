@@ -98,8 +98,10 @@ def sweep(name, fn, configs, make_args, iters, report):
                                   iters=iters)
                     row["grad_s"] = round(step, 4)
                 except Exception as eg:
-                    row["grad_unsupported"] = _ANSI.sub(
-                        "", f"{type(eg).__name__}: {eg}")[:160]
+                    # first line only: multi-line remote-compiler dumps carry
+                    # timestamps/ANSI and churn the committed registry
+                    msg = _ANSI.sub("", f"{type(eg).__name__}: {eg}")
+                    row["grad_unsupported"] = msg.splitlines()[0][:120]
                 rows[tag] = row
                 print(f"[{name}] {tag}: fwd {fwd:.4f}s (retry ok, "
                       f"grad={'ok' if 'grad_s' in row else 'unsupported'})",

@@ -109,6 +109,23 @@ def main():
     best = max(results, key=results.get)
     print(json.dumps({"best_batch": best[0], "best_small_attn": best[1],
                       "samples_per_sec": round(results[best], 2)}))
+    if "--write_registry" in sys.argv:
+        # record the measured policy winner where every small-L call site
+        # reads it (kernels.tuning.small_attn_policy via ID_TPU_ATTN_TUNE)
+        path = os.environ.get("ID_TPU_ATTN_TUNE", "docs/attn_autotune.json")
+        try:
+            with open(path) as f:
+                reg = json.load(f)
+        except (OSError, ValueError):
+            reg = {}
+        reg["small_attn"] = {
+            "best": best[1],
+            "sweep": {f"{b}:{p}": round(s, 2)
+                      for (b, p), s in sorted(results.items())},
+        }
+        with open(path, "w") as f:
+            json.dump(reg, f, indent=1)
+        print(f"registry updated: {path}")
 
 
 if __name__ == "__main__":
