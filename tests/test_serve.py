@@ -13,7 +13,8 @@ import numpy as np
 import pytest
 
 KP = "runs/maze_q10k/kp"
-IL = "runs/maze_q10k/il_20k_s002"
+IL = next((p for p in ("runs/maze_q10k/il_20k_s002", "runs/maze_q10k/il")
+           if os.path.isdir(p)), "runs/maze_q10k/il")
 PREP = "runs/maze_q10k/prep/dp.npz"
 
 pytestmark = pytest.mark.skipif(
