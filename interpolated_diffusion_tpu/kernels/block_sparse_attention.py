@@ -105,19 +105,26 @@ def _fwd_kernel(
 def _fwd_pallas(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, lut: jnp.ndarray,
     block_m: int, block_n: int, scale: float, interpret: bool = False,
+    kv_len: Optional[int] = None, kv_pad_blocks: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kv_len decouples the key-position mask bound from the query length
+    (cross/ring attention); kv_pad_blocks appends that many EXTRA zero K/V
+    blocks past the padded kv length, so a LUT entry of n_kv_blocks is a
+    fully-masked in-bounds sentinel (ring SLA points off-shard blocks at it —
+    its keys sit at positions >= kv_len and mask to zero probability)."""
     BH, L, D = q.shape
+    Lkv = k.shape[1] if kv_len is None else kv_len
     m_blocks = lut.shape[1]
     topk = lut.shape[-1]
     Lq = m_blocks * block_m
-    Lk = _pad_len(L, block_n)
+    Lk = _pad_len(Lkv, block_n) + kv_pad_blocks * block_n
     qp = jnp.pad(q, ((0, 0), (0, Lq - L), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, Lk - L), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, Lk - L), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, Lk - k.shape[1]), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, Lk - v.shape[1]), (0, 0)))
 
     grid = (BH, m_blocks, topk)
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, topk=topk, L=L, block_n=block_n
+        _fwd_kernel, scale=scale, topk=topk, L=Lkv, block_n=block_n
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -638,6 +645,35 @@ def block_sparse_attention(
     """
     o, _ = _fwd_impl(q, k, v, lut, block_m, block_n, scale, impl)
     return o
+
+
+def block_sparse_attention_lse(
+    q: jnp.ndarray,       # [BH, Lq, D]
+    k: jnp.ndarray,       # [BH, Lkv, D] — independent length (cross/ring)
+    v: jnp.ndarray,
+    lut: jnp.ndarray,     # [BH, ceil(Lq/block_m), topk] int32
+    block_m: int = 128,
+    block_n: int = 128,
+    scale: Optional[float] = None,
+    impl: str = "pallas",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Block-sparse attention returning (o, lse) with SENTINEL support:
+    a LUT entry equal to ceil(Lkv/block_n) selects an appended all-zero,
+    fully-position-masked block — it contributes nothing, and rows whose
+    entries are ALL sentinels come out (o=0, lse≈-inf). This is the ring-SLA
+    hop primitive (parallel/ring_sla.py): off-shard LUT entries become
+    sentinels and the per-hop (o, lse) pairs merge in log-space. `lse` is
+    base-2, matching the kernel's exp2 trick. Forward-only (no custom_vjp);
+    the training path keeps per-device SLA or ring dense attention.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    kv_len = k.shape[1]
+    if impl == "pallas":
+        return _fwd_pallas(q, k, v, lut, block_m, block_n, scale,
+                           kv_len=kv_len, kv_pad_blocks=1)
+    return block_sparse_attention_reference(
+        q, k, v, lut, block_m, block_n, scale, kv_len=kv_len, kv_pad_blocks=1)
 
 
 def _fwd_impl(q, k, v, lut, block_m, block_n, scale, impl):

@@ -139,6 +139,32 @@ def main():
     check("sla_fwd_loss", lp, lx, args.tol)
     check("sla_dq", gp, gx, args.tol)
 
+    # 6) ring-SLA hop primitive: the sentinel/cross-length (o, lse) forward
+    #    (block_sparse_attention_lse, kv_pad_blocks=1) — Pallas vs reference.
+    #    Rows mix real and sentinel entries exactly like a ring hop's rebased
+    #    LUT (parallel/ring_sla.py); lse must agree too, it drives the
+    #    cross-hop log-space merge.
+    from interpolated_diffusion_tpu.kernels.block_sparse_attention import (
+        block_sparse_attention_lse,
+    )
+
+    n_kv_blocks = L // BN
+    sent = n_kv_blocks
+    khop = jax.random.PRNGKey(7)
+    hop_mask = jax.random.bernoulli(khop, 0.5, lut.shape)
+    lut_hop = jnp.where(hop_mask, lut, sent).astype(jnp.int32)
+    # guarantee at least one real entry per row (col 0 stays real) so the
+    # dense comparison below is well-defined for every query row
+    lut_hop = lut_hop.at[..., 0].set(lut[..., 0])
+    o_hop, lse_hop = jax.jit(
+        lambda q, k, v, lu: block_sparse_attention_lse(q, k, v, lu, BM, BN)
+    )(q, k, v, lut_hop)
+    o_hop_ref, lse_hop_ref = block_sparse_attention_reference(
+        q, k, v, lut_hop, BM, BN, kv_len=L, kv_pad_blocks=1
+    )
+    check("ring_hop_fwd", o_hop, o_hop_ref, args.tol)
+    check("ring_hop_lse", lse_hop, lse_hop_ref, args.tol)
+
     report["elapsed_s"] = round(time.time() - t0, 2)
     report["backend"] = dev.platform
     report["ok"] = bool(ok)
