@@ -42,6 +42,7 @@ def _synth_prepared(path=None, N=256, T=128, h=9, w=9, seed=0):
     return xout
 
 
+@pytest.mark.slow  # T=128 D=4 batch builders: ~18 s on 1 core
 def test_stage2_targets_bounded_t128_d4():
     """Adjacent-level targets stay O(1) in every channel at the failing
     config (T=128, D=4, levels=8, geom, dist corruption σ∈[0.003, 0.02])."""

@@ -6,6 +6,11 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# full flow/sinkhorn interpolator builds + teacher sampling: ~40 s on a
+# 1-core host — slow tier (the fast-tier contract is < 5 min total)
+pytestmark = pytest.mark.slow
 
 from interpolated_diffusion_tpu.utils.checkpoint import save_checkpoint
 

@@ -7,6 +7,7 @@ src/models/frame_vae.py:17 (frozen diffusers AutoencoderKL).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from interpolated_diffusion_tpu.models.sd_vae import (
     SDVAE, convert_sd_vae_state_dict, export_sd_vae_state_dict,
@@ -22,6 +23,7 @@ def _init():
     return model, params, frames
 
 
+@pytest.mark.slow  # full SDVAE encode+decode build: ~20 s on 1 core
 def test_shapes_and_scaling_contract():
     model, params, frames = _init()
     z = model.apply({"params": params}, frames, method=SDVAE.encode)

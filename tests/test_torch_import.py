@@ -83,6 +83,7 @@ def test_causal_interp_denoiser_import(g):
     np.testing.assert_allclose(np.asarray(out), g["itc/out"], atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow  # fresh init of every model family: ~11 s on 1 core
 def test_converted_tree_matches_init_shapes(g):
     """Converted pytree is structurally identical to a fresh init (so it can
     be dropped into trainers/samplers/checkpoints unchanged)."""

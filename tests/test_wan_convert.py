@@ -38,6 +38,7 @@ def _trees_equal(a, b):
     )
 
 
+@pytest.mark.slow  # full WanDiT init for the export: ~13 s on 1 core
 def test_roundtrip_exact():
     _, params, _ = _init_loop()
     sd = export_wan_state_dict(params, patch_size=(1, 2, 2), in_channels=4)
