@@ -98,9 +98,11 @@ def sweep(name, fn, configs, make_args, iters, report):
                                   iters=iters)
                     row["grad_s"] = round(step, 4)
                 except Exception as eg:
-                    # first line only: multi-line remote-compiler dumps carry
-                    # timestamps/ANSI and churn the committed registry
+                    # first line only, URLs dropped: multi-line remote-compiler
+                    # dumps carry timestamps/ANSI/endpoints and churn the
+                    # committed registry
                     msg = _ANSI.sub("", f"{type(eg).__name__}: {eg}")
+                    msg = re.sub(r"https?://\S+", "<endpoint>", msg)
                     row["grad_unsupported"] = msg.splitlines()[0][:120]
                 rows[tag] = row
                 print(f"[{name}] {tag}: fwd {fwd:.4f}s (retry ok, "
