@@ -104,3 +104,97 @@ def _small_mha_bwd(n_heads, res, do):
 
 
 small_mha.defvjp(_small_mha_fwd, _small_mha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# G-batch-packed block-diagonal kernel (round-4: the postmortem fix)
+# ---------------------------------------------------------------------------
+#
+# The round-3 grouped-packing postmortem (docs/RESULTS.md "Small-L
+# attention") found the XLA G=2 block-diagonal packing wins the RAW op 2.9×
+# at T=64 but LOSES the fused pipeline: XLA materializes the [G·L, G·L] f32
+# logits plus the mask select in HBM, defeating the LN/FiLM fusion. This
+# kernel keeps that exact packing — G *batch elements* stacked along the row
+# axis, one [G·L, G·L] matmul per head with a static block-diagonal mask —
+# but entirely in VMEM: per grid step only q/k/v tiles stream in and the
+# output streams out, the same HBM traffic the unpacked path already pays.
+# Packing batch (not heads) keeps rows tile-aligned for any H and leaves
+# the contraction at Dh for scores and G·L (≥128) for the P·V matmul.
+
+
+def _kernel_packed(q_ref, k_ref, v_ref, o_ref, *, n_heads: int, dh: int,
+                   G: int, L: int):
+    scale = dh ** -0.5
+    R = G * L
+    rows_g = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // L
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // L
+    diag = rows_g == cols_g
+    for h in range(n_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[:, :, sl].reshape(R, dh)
+        k = k_ref[:, :, sl].reshape(R, dh)
+        v = v_ref[:, :, sl].reshape(R, dh)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        logits = jnp.where(diag, logits, -1e30)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, :, sl] = o.reshape(G, L, dh).astype(o_ref.dtype)
+
+
+def _fwd_pallas_packed(q, k, v, n_heads, G, interpret=False):
+    B, L, HD = q.shape
+    dh = HD // n_heads
+    Bp = -(-B // G) * G
+    if Bp != B:
+        # pad batch: padded rows attend only within their own (zero) block —
+        # a uniform softmax over zero values, discarded by the slice below
+        pad = ((0, Bp - B), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, n_heads=n_heads, dh=dh, G=G, L=L),
+        grid=(Bp // G,),
+        in_specs=[pl.BlockSpec((G, L, HD), lambda b: (b, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((G, L, HD), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, L, HD), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)) if _HAVE_PLTPU else None,
+        interpret=interpret,
+    )(q, k, v)
+    return out[:B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def small_mha_packed(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     n_heads: int, group_b: int = 8,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Batch-packed block-diagonal MHA: q/k/v [B, L, H*Dh] → [B, L, H*Dh].
+
+    `group_b` batch elements share one [G·L, G·L] block-diagonal matmul per
+    head, computed per grid step with logits resident in VMEM. Backward is
+    the recompute-via-XLA custom_vjp small_mha uses (the shapes are too
+    small for a hand bwd kernel to pay for itself).
+    """
+    if not interpret and (not _HAVE_PLTPU or jax.default_backend() != "tpu"):
+        return _xla_attention(q, k, v, n_heads)
+    return _fwd_pallas_packed(q, k, v, n_heads, group_b, interpret)
+
+
+def _small_mha_packed_fwd(q, k, v, n_heads, group_b, interpret):
+    return small_mha_packed(q, k, v, n_heads, group_b, interpret), (q, k, v)
+
+
+def _small_mha_packed_bwd(n_heads, group_b, interpret, res, do):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, n_heads),
+                     q, k, v)
+    return vjp(do)
+
+
+small_mha_packed.defvjp(_small_mha_packed_fwd, _small_mha_packed_bwd)

@@ -58,21 +58,41 @@ def flash_blocks(default_m: int = 512, default_n: int = 1024,
     return _best("flash", prefer) or (default_m, default_n)
 
 
-def small_attn_policy(default: str = "full") -> str:
-    """Small-L attention packing policy ('full' | 'group' | 'none').
+def small_attn_policy(default: str = "fused") -> str:
+    """Small-L attention packing policy ('fused' | 'full' | 'group' | 'none').
 
     One lookup consulted by EVERY small-L attention call site
     (models/transformer.py dispatch). Resolution order: the tuned registry's
     "small_attn" winner (written by scripts/bench_sweep.py --write_registry),
     then the ID_TPU_SMALL_ATTN env override, then the built-in default —
-    'full' won the fused e2e A/B on v5e (4433 vs 4017 group / 3451 none,
-    docs/RESULTS.md "Small-L attention")."""
+    'fused' = the round-4 Pallas batch-packed block-diagonal kernel at
+    256 < H·L (kernels/small_mha.small_mha_packed; VMEM-resident logits),
+    falling back to 'full' behavior at H·L ≤ 256 where the XLA full pack
+    already wins (docs/RESULTS.md "Small-L attention")."""
     path = os.environ.get(_ENV)
     if path:
         best = _load(path).get("small_attn", {}).get("best")
-        if best in ("full", "group", "none"):
+        if best in ("fused", "full", "group", "none"):
             return best
     return os.environ.get("ID_TPU_SMALL_ATTN", default)
+
+
+def fused_group_b(L: int, default_rows: int = 512) -> int:
+    """Batch-pack group size G for small_mha_packed: G·L row target.
+
+    Row-target resolution: tuned registry key small_attn.fused_rows, then
+    the ID_TPU_FUSED_ROWS env override (scripts/bench_sweep.py sweeps it),
+    then the built-in default; G is clamped to [1, 64]."""
+    rows = default_rows
+    path = os.environ.get(_ENV)
+    got = _load(path).get("small_attn", {}).get("fused_rows") if path else None
+    if isinstance(got, int) and got > 0:
+        rows = got
+    else:
+        env = os.environ.get("ID_TPU_FUSED_ROWS")
+        if env and env.isdigit():
+            rows = int(env)
+    return max(1, min(64, rows // max(1, L)))
 
 
 def sla_blocks(default: int = 256, quant: str = "none",

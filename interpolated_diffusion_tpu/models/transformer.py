@@ -17,7 +17,9 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..kernels.small_mha import SMALL_MHA_MAX_ROWS, small_mha
+from ..kernels.small_mha import (
+    SMALL_MHA_MAX_ROWS, small_mha, small_mha_packed,
+)
 
 # Small-L attention policy (env ID_TPU_SMALL_ATTN, read at trace time so
 # benchmarks can A/B it between jit builds):
@@ -105,12 +107,26 @@ def _blockdiag_group(H: int, L: int, max_rows: int = 128) -> int:
     policy = small_attn_policy()
     if policy == "none":
         return 1
-    if policy == "full":
+    if policy in ("full", "fused"):
+        # 'fused' reaching here means its Pallas precondition failed
+        # (causal / tiny H·L) — the XLA full pack is the proven fallback
         return H if H * L <= 256 else 1
     G = max(1, min(H, max_rows // max(1, L)))
     while G > 1 and H % G:
         G -= 1
     return G
+
+
+def _use_fused_packed(H: int, L: int, causal: bool) -> bool:
+    """The round-4 Pallas batch-packed kernel's applicability window:
+    mid-size rows where per-head XLA attention is micro-matmul-bound but the
+    XLA full pack's H·L logits would be too large (docs/RESULTS.md
+    postmortem). Causal stays on the XLA paths (the kernel has no causal
+    mask; the causal models run chunked anyway)."""
+    from ..kernels.tuning import small_attn_policy
+
+    return (small_attn_policy() == "fused" and not causal
+            and 256 < H * L and L <= 256)
 
 
 class TransformerBlock(nn.Module):
@@ -153,6 +169,18 @@ class TransformerBlock(nn.Module):
             # surrounding LN/FiLM chain and loses ~3% end-to-end.
             qkv3 = qkv.reshape(B, L, 3, self.d_model)
             attn = small_mha(qkv3[:, :, 0], qkv3[:, :, 1], qkv3[:, :, 2], H)
+        elif _use_fused_packed(H, L, self.causal):
+            # round-4 default at 256 < H·L: G batch elements share one
+            # [G·L, G·L] block-diagonal matmul per head with the logits
+            # resident in VMEM (kernels/small_mha.small_mha_packed) — the
+            # grouped-packing postmortem's identified fix (docs/RESULTS.md)
+            from ..kernels.tuning import fused_group_b
+
+            qkv3 = qkv.reshape(B, L, 3, self.d_model)
+            attn = small_mha_packed(
+                qkv3[:, :, 0], qkv3[:, :, 1], qkv3[:, :, 2], H,
+                fused_group_b(L),
+            )
         else:
             qkv = qkv.reshape(B, L, 3, H, Dh).transpose(2, 0, 3, 1, 4)
             G = _blockdiag_group(H, L)

@@ -87,18 +87,33 @@ def run_one(B: int) -> float:
     return B * ITERS / (time.time() - t0)
 
 
+def _set_policy(policy: str) -> None:
+    if policy.startswith("fused"):
+        os.environ["ID_TPU_SMALL_ATTN"] = "fused"
+        os.environ["ID_TPU_FUSED_ROWS"] = policy.split(":")[1]
+    else:
+        os.environ["ID_TPU_SMALL_ATTN"] = policy
+        os.environ.pop("ID_TPU_FUSED_ROWS", None)
+
+
 def main():
     results = {}
     # small-L attention policy sweep at the default batch first (cheap:
-    # the policy is read at trace time; each build is a fresh jit)
-    for policy in ("group", "full", "none"):
-        os.environ["ID_TPU_SMALL_ATTN"] = policy
+    # the policy is read at trace time; each build is a fresh jit).
+    # "fused:<rows>" = the Pallas batch-packed kernel with a G·L row target
+    # (kernels/small_mha.small_mha_packed; ID_TPU_FUSED_ROWS read by
+    # kernels.tuning.fused_group_b via the registry — here swept directly).
+    policies = ("fused:128", "fused:256", "fused:512", "full", "group", "none")
+    if "--quick" in sys.argv:
+        policies = ("fused:256", "fused:512", "full")
+    for policy in policies:
+        _set_policy(policy)
         sps = run_one(256)
         results[(256, policy)] = sps
         print(json.dumps({"batch": 256, "small_attn": policy,
                           "samples_per_sec": round(sps, 2)}), flush=True)
     best_policy = max(results, key=results.get)[1]
-    os.environ["ID_TPU_SMALL_ATTN"] = best_policy
+    _set_policy(best_policy)
     for B in BATCHES:
         if (B, best_policy) in results:
             continue
@@ -118,11 +133,14 @@ def main():
                 reg = json.load(f)
         except (OSError, ValueError):
             reg = {}
+        kind = best[1].split(":")[0]
         reg["small_attn"] = {
-            "best": best[1],
+            "best": kind,
             "sweep": {f"{b}:{p}": round(s, 2)
                       for (b, p), s in sorted(results.items())},
         }
+        if kind == "fused" and ":" in best[1]:
+            reg["small_attn"]["fused_rows"] = int(best[1].split(":")[1])
         with open(path, "w") as f:
             json.dump(reg, f, indent=1)
         print(f"registry updated: {path}")
