@@ -160,7 +160,13 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = film(h, "film1")
         qkv = nn.Dense(3 * self.d_model, dtype=self.dtype, name="qkv")(h)
-        if (self.use_small_mha and not self.causal
+        if os.environ.get("ID_TPU_PROFILE_SKIP_ATTN"):
+            # profiling skeleton ONLY (scripts/profile_pipeline.py): keep
+            # every projection but remove the attention math, so the
+            # attention share of a block is (full - skeleton). Never set in
+            # production — outputs are meaningless.
+            attn = qkv[..., : self.d_model]
+        elif (self.use_small_mha and not self.causal
                 and H * L <= SMALL_MHA_MAX_ROWS):
             # packed Pallas MHA: no head transpose, logits stay in VMEM.
             # Opt-in only: in isolation it beats per-head XLA attention

@@ -85,6 +85,11 @@ def main():
         print("\n## Serving sweep best point\n")
         print(json.dumps(sv["best"], indent=1))
 
+    prof = load("docs/profile_smallL.json")
+    if prof:
+        print("\n## Small-L attention component profile (close-out)\n")
+        print(json.dumps({k: v for k, v in prof.items()}, indent=1))
+
     for name in ("bench_r4", "kernels_r4"):
         p = LOG / f"{name}.log"
         if p.is_file():

@@ -186,3 +186,23 @@ def test_transformer_fused_policy_matches_none(monkeypatch):
     out = blk.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_profile_skip_attn_skeleton(monkeypatch):
+    """ID_TPU_PROFILE_SKIP_ATTN (scripts/profile_pipeline.py's skeleton
+    knob) keeps shapes/params identical, changes the output (attention math
+    actually removed), and has no effect when unset."""
+    from interpolated_diffusion_tpu.models.transformer import TransformerBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+    blk = TransformerBlock(d_model=64, n_heads=4, d_ff=128, use_film=False)
+    params = blk.init(jax.random.PRNGKey(1), x)["params"]
+    out_real = blk.apply({"params": params}, x)
+    monkeypatch.setenv("ID_TPU_PROFILE_SKIP_ATTN", "1")
+    out_skel = blk.apply({"params": params}, x)
+    assert out_skel.shape == out_real.shape
+    assert not np.allclose(np.asarray(out_skel), np.asarray(out_real))
+    monkeypatch.delenv("ID_TPU_PROFILE_SKIP_ATTN")
+    out_again = blk.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(out_again), np.asarray(out_real),
+                               atol=1e-6)
