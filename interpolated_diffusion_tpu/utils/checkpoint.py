@@ -32,9 +32,34 @@ def save_checkpoint(
     ema_params: Optional[Any] = None,
     meta: Optional[Dict] = None,
 ) -> None:
-    """Write a checkpoint directory at `path` (created if needed)."""
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    """Write a checkpoint directory at `path` (created if needed).
+
+    The write is atomic at the directory level: everything is staged in a
+    sibling temp dir (whose name never matches the `ckpt_` prefix that
+    `latest_checkpoint` scans) and renamed into place in one os.replace.
+    Readers racing a save — the watchdog resuming, a sampler picking up the
+    latest ckpt mid-training — therefore see either the previous complete
+    checkpoint or the new complete one, never a truncated params.msgpack.
+    meta.json is written last inside the stage so its presence implies the
+    arrays are fully serialized.
+    """
+    import shutil
+
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(parent, exist_ok=True)
+    stage = os.path.join(parent, f".tmp-{os.path.basename(path)}-{os.getpid()}")
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+    os.makedirs(stage)
+    with open(os.path.join(stage, "params.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(_to_host(params)))
+    if opt_state is not None:
+        with open(os.path.join(stage, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(_to_host(opt_state)))
+    if ema_params is not None:
+        with open(os.path.join(stage, "ema.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(_to_host(ema_params)))
+    with open(os.path.join(stage, "meta.json"), "w") as f:
         json.dump(
             {
                 "step": int(step),
@@ -45,14 +70,13 @@ def save_checkpoint(
             f,
             indent=2,
         )
-    with open(os.path.join(path, "params.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(_to_host(params)))
-    if opt_state is not None:
-        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(_to_host(opt_state)))
-    if ema_params is not None:
-        with open(os.path.join(path, "ema.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(_to_host(ema_params)))
+    if os.path.isdir(path):
+        old = stage + ".old"
+        os.replace(path, old)
+        os.replace(stage, path)
+        shutil.rmtree(old)
+    else:
+        os.replace(stage, path)
 
 
 def load_checkpoint(

@@ -195,6 +195,27 @@ def test_checkpoint_meta_roundtrip():
     np.testing.assert_allclose(np.asarray(payload["params"]["w"]), 1.0)
 
 
+def test_checkpoint_save_is_atomic_and_overwrites():
+    """Saves stage in a temp dir and rename into place: overwriting the same
+    path works, no stage dirs are left behind, and latest_checkpoint never
+    sees a half-written directory (the round-4 smoke caught a reader racing
+    a mid-save params.msgpack)."""
+    from interpolated_diffusion_tpu.utils.checkpoint import latest_checkpoint
+
+    params = {"w": jnp.ones((2, 2))}
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = os.path.join(tmpdir, "ckpt_5")
+        save_checkpoint(path, params, step=5, meta={"a": 1})
+        # overwrite the same step (resume + re-save path)
+        save_checkpoint(path, {"w": 2 * jnp.ones((2, 2))}, step=5, meta={"a": 2})
+        step, payload = load_checkpoint(path, params)
+        assert step == 5 and payload["meta"] == {"a": 2}
+        np.testing.assert_allclose(np.asarray(payload["params"]["w"]), 2.0)
+        # no stage/backup residue, and the scanner sees exactly this ckpt
+        assert [d for d in os.listdir(tmpdir) if d != "ckpt_5"] == []
+        assert latest_checkpoint(tmpdir) == path
+
+
 def test_clamp_policy_endpoints_only():
     B, T, D = 1, 5, 4
     x_ref = jnp.zeros((B, T, D))
