@@ -34,22 +34,33 @@ def save_checkpoint(
 ) -> None:
     """Write a checkpoint directory at `path` (created if needed).
 
-    The write is atomic at the directory level: everything is staged in a
-    sibling temp dir (whose name never matches the `ckpt_` prefix that
-    `latest_checkpoint` scans) and renamed into place in one os.replace.
-    Readers racing a save — the watchdog resuming, a sampler picking up the
-    latest ckpt mid-training — therefore see either the previous complete
-    checkpoint or the new complete one, never a truncated params.msgpack.
-    meta.json is written last inside the stage so its presence implies the
-    arrays are fully serialized.
+    Atomicity contract (process-crash / reader-race scope — NOT power-loss
+    durability; no fsync is issued, so an OS crash can leave truncated
+    files even when meta.json exists): everything is staged in a sibling
+    temp dir (whose name never matches the `ckpt_` prefix that
+    `latest_checkpoint` scans) and renamed into place with os.replace.
+    Overwriting an existing `path` needs two renames (path→.prev-<name>,
+    stage→path); a kill inside that window leaves `path` briefly absent,
+    but the last complete checkpoint survives as `.prev-<name>` and both
+    `save_checkpoint` and `latest_checkpoint` restore it on their next
+    call (`_recover_interrupted`). Stale `.tmp-*`/`.prev-*` siblings for
+    this checkpoint name are swept at save time, so crashed saves don't
+    accumulate disk or break later saves via PID reuse. meta.json is
+    written last inside the stage so its presence implies the arrays are
+    fully serialized (within the process-crash scope above).
     """
     import shutil
 
     parent = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(parent, exist_ok=True)
-    stage = os.path.join(parent, f".tmp-{os.path.basename(path)}-{os.getpid()}")
-    if os.path.isdir(stage):
-        shutil.rmtree(stage)
+    _recover_interrupted(parent)
+    base = os.path.basename(path)
+    # sweep stale staging/backup dirs for THIS name (prior crashed saves,
+    # possibly from a different PID) so os.replace below can't hit ENOTEMPTY
+    for name in os.listdir(parent):
+        if name.startswith(f".tmp-{base}-") or name == f".prev-{base}":
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+    stage = os.path.join(parent, f".tmp-{base}-{os.getpid()}")
     os.makedirs(stage)
     with open(os.path.join(stage, "params.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(_to_host(params)))
@@ -71,12 +82,34 @@ def save_checkpoint(
             indent=2,
         )
     if os.path.isdir(path):
-        old = stage + ".old"
+        old = os.path.join(parent, f".prev-{base}")
         os.replace(path, old)
         os.replace(stage, path)
-        shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)
     else:
         os.replace(stage, path)
+
+
+def _recover_interrupted(parent: str) -> None:
+    """Restore checkpoints stranded by a kill between save_checkpoint's two
+    overwrite renames: if `.prev-<name>` exists without `<name>`, it IS the
+    last complete checkpoint — rename it back. Leftover `.prev-` dirs whose
+    target exists are just unswept backups and are removed."""
+    import shutil
+
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(".prev-"):
+            continue
+        src = os.path.join(parent, name)
+        target = os.path.join(parent, name[len(".prev-"):])
+        if not os.path.exists(target):
+            os.replace(src, target)
+        else:
+            shutil.rmtree(src, ignore_errors=True)
 
 
 def load_checkpoint(
@@ -123,6 +156,7 @@ def latest_checkpoint(ckpt_root: str, prefix: str = "ckpt_") -> Optional[str]:
     """Find the highest-step `ckpt_<step>` directory under ckpt_root."""
     if not os.path.isdir(ckpt_root):
         return None
+    _recover_interrupted(ckpt_root)
     best, best_step = None, -1
     for name in os.listdir(ckpt_root):
         if not name.startswith(prefix):

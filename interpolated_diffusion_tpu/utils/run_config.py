@@ -62,7 +62,11 @@ def archive_evidence(out_dir: str, files=("summary.json", "run_config.json"),
 
     <run> = the out_dir path relative to runs/ with separators flattened
     (runs/d4rl_r3/samples_bestof16 → docs/results/d4rl_r3__samples_bestof16).
-    Set ID_TPU_NO_EVIDENCE=1 to skip (throwaway/debug runs).
+    Set ID_TPU_NO_EVIDENCE=1 to skip (throwaway/debug runs). Runs are also
+    skipped automatically when they cannot be round evidence: pytest runs
+    (PYTEST_CURRENT_TEST set) and out_dirs outside the repo's runs/ tree
+    (e.g. /tmp scratch) — the round-4 review found 8-sample test runs
+    polluting docs/results/. Set ID_TPU_FORCE_EVIDENCE=1 to override.
     Reference analogue: scripts/log_experiment.sh:1-40 (the lab notebook).
     """
     if os.environ.get("ID_TPU_NO_EVIDENCE"):
@@ -73,6 +77,9 @@ def archive_evidence(out_dir: str, files=("summary.json", "run_config.json"),
         os.path.abspath(__file__))))
     out_abs = os.path.abspath(out_dir)
     rel = os.path.relpath(out_abs, os.path.join(repo_dir, "runs"))
+    if not os.environ.get("ID_TPU_FORCE_EVIDENCE"):
+        if os.environ.get("PYTEST_CURRENT_TEST") or rel.startswith(".."):
+            return None
     if rel.startswith(".."):
         rel = os.path.basename(out_abs)
     dest = os.path.join(repo_dir, "docs", "results", rel.replace(os.sep, "__"))

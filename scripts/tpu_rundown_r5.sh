@@ -10,23 +10,9 @@ cd "$(dirname "$0")/.."
 LOG=runs/tpu_rundown_r5
 mkdir -p "$LOG"
 
-run_step() {
-  local name=$1 tmo=$2; shift 2
-  if [ -f "$LOG/$name.done" ]; then echo "== $name: already done"; return 0; fi
-  echo "== $name: start $(date)"
-  if timeout "$tmo" "$@" > "$LOG/$name.log" 2>&1; then
-    touch "$LOG/$name.done"; echo "== $name: OK $(date)"; return 0
-  else
-    local rc=$?
-    echo "== $name: FAILED rc=$rc (see $LOG/$name.log)"; return "$rc"
-  fi
-}
-
-need() {
-  local p; for p in "$@"; do
-    [ -e "$p" ] || { echo "== SKIP (missing prerequisite: $p)"; return 1; }
-  done
-}
+# honest marker-gated step runner (writes rc/timestamps/log into markers,
+# refuses hand-touched empty markers, supports explicit .cut markers)
+. scripts/rundown_lib.sh
 
 B=runs/d4rl_r5
 

@@ -216,6 +216,34 @@ def test_checkpoint_save_is_atomic_and_overwrites():
         assert latest_checkpoint(tmpdir) == path
 
 
+def test_checkpoint_crash_window_recovery():
+    """A kill between save_checkpoint's two overwrite renames leaves the
+    target absent with the old copy at .prev-<name>; latest_checkpoint and
+    the next save must restore it (ADVICE r4 medium). Stale .tmp- staging
+    dirs from crashed saves (incl. PID reuse) must be swept, not fatal."""
+    import shutil
+
+    from interpolated_diffusion_tpu.utils.checkpoint import latest_checkpoint
+
+    params = {"w": jnp.ones((2, 2))}
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = os.path.join(tmpdir, "ckpt_5")
+        save_checkpoint(path, params, step=5, meta={"a": 1})
+        # simulate the crash window: path renamed away, new stage never landed
+        os.replace(path, os.path.join(tmpdir, ".prev-ckpt_5"))
+        os.makedirs(os.path.join(tmpdir, ".tmp-ckpt_5-99999"))
+        assert latest_checkpoint(tmpdir) == path  # recovered
+        step, payload = load_checkpoint(path, params)
+        assert step == 5 and payload["meta"] == {"a": 1}
+        # a later save over the recovered ckpt sweeps stale dirs and succeeds
+        shutil.rmtree(os.path.join(tmpdir, ".tmp-ckpt_5-99999"), ignore_errors=True)
+        os.makedirs(os.path.join(tmpdir, f".tmp-ckpt_5-{os.getpid()}"))
+        save_checkpoint(path, {"w": 3 * jnp.ones((2, 2))}, step=5, meta={"a": 3})
+        step, payload = load_checkpoint(path, params)
+        assert step == 5 and payload["meta"] == {"a": 3}
+        assert [d for d in os.listdir(tmpdir) if d != "ckpt_5"] == []
+
+
 def test_clamp_policy_endpoints_only():
     B, T, D = 1, 5, 4
     x_ref = jnp.zeros((B, T, D))
