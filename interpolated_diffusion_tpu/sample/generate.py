@@ -122,6 +122,16 @@ class PipelineConfig:
                                            # positions; see ops/ddpm.ddim_step
                                            # on the cosine-1000 terminal-step
                                            # amplification)
+        s2_delta_smooth: int = 0,          # N>0: after each level's delta,
+                                           # N passes of a 3-tap binomial
+                                           # filter along T applied at
+                                           # MISSING frames only (anchors
+                                           # and endpoints keep their exact
+                                           # values) — targets the jagged
+                                           # per-frame texture of the
+                                           # Stage-2 delta (refined
+                                           # smoothness ~24× interp's,
+                                           # docs/RESULTS.md r4 grid #4)
     ):
         self.__dict__.update(locals())
         del self.__dict__["self"]
@@ -279,6 +289,18 @@ def make_pipeline(
             s_level = jnp.full((B,), s, dtype=jnp.int32)
             delta = interp_model.apply({"params": interp_params}, x, s_level, mask_in, cond)
             x = x + delta
+            if cfg.s2_delta_smooth > 0:
+                # binomial smoothing at missing frames: iid per-frame
+                # prediction noise dominates the accel metric (second
+                # difference amplifies high frequencies); anchors/endpoints
+                # are reasserted so interpolation invariants hold
+                keep = mask_s
+                keep = keep.at[:, 0].set(True).at[:, -1].set(True)
+                for _ in range(cfg.s2_delta_smooth):
+                    xs = (0.25 * jnp.roll(x, 1, axis=1) + 0.5 * x
+                          + 0.25 * jnp.roll(x, -1, axis=1))
+                    xs = xs.at[:, 0].set(x[:, 0]).at[:, -1].set(x[:, -1])
+                    x = jnp.where(keep[..., None], x, xs)
             # level-tied sampling noise on missing frames
             if cfg.s2_noise_mode != "none":
                 sigma = (
@@ -460,6 +482,20 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["endpoints", "all_anchors", "none"])
     p.add_argument("--clamp_dims", type=str, default="pos", choices=["pos", "all"])
     p.add_argument("--soft_anchor_clamp", type=int, default=0)
+    p.add_argument("--s2_delta_smooth", type=int, default=0,
+                   help="N passes of 3-tap binomial smoothing at missing "
+                        "frames after each Stage-2 level (0 = off); "
+                        "anchors/endpoints keep exact values")
+    p.add_argument("--anchor_conf_override", type=float, default=None,
+                   help="confidence presented for interior anchors in the "
+                        "Stage-2 conf channel (default: the training "
+                        "teacher value, 0.95). Stage-1 anchors at sample "
+                        "time are STUDENT-quality — a bootstrap-trained "
+                        "Stage-2 saw that error distribution labeled "
+                        "anchor_conf_student (0.5), so presenting 0.95 "
+                        "understates the error and under-corrects; this "
+                        "flag closes the train/test conf mismatch "
+                        "(docs/RESULTS.md round-5 A/B)")
     p.add_argument("--soft_clamp_schedule", type=str, default="linear")
     p.add_argument("--soft_clamp_max", type=float, default=0.5)
     p.add_argument("--s2_noise_mode", type=str, default="none",
@@ -538,6 +574,10 @@ def main(argv=None):
         k_schedule=il_meta.get("k_schedule", "doubling"),
         stage2_mode=args.stage2_mode or il_meta.get("mode", "adj"),
         anchor_conf=bool(il_meta.get("anchor_conf", 0)),
+        anchor_conf_teacher=(
+            args.anchor_conf_override if args.anchor_conf_override is not None
+            else float(il_meta.get("anchor_conf_teacher", 0.95))
+        ),
         anchor_conf_anneal_mode=(
             il_meta.get("anchor_conf_anneal_mode", "none")
             if il_meta.get("anchor_conf_anneal") else "none"
@@ -558,6 +598,7 @@ def main(argv=None):
         logit_eps=float(kp_meta.get("logit_eps", 1e-5)),
         recompute_vel=bool(il_meta.get("recompute_vel", 0)) and int(kp_meta["data_dim"]) == 4,
         x0_clip=args.x0_clip,
+        s2_delta_smooth=args.s2_delta_smooth,
         stage2_mask_policy=args.stage2_mask_policy,
         collect_steps=bool(args.save_steps),
         stage1_cache_interval=args.stage1_cache_interval,
