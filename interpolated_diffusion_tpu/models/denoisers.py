@@ -164,6 +164,11 @@ class InterpLevelDenoiser(nn.Module):
     causal: bool = False
     use_remat: bool = False
     dtype: Dtype = jnp.float32
+    attn_impl: str = "dense"   # "ring"/"ring_sla": sequence-sharded
+                               # attention — apply inside shard_map with T
+                               # sharded on `seq_axis` and pass pos_frac
+                               # (models/transformer.TransformerBlock)
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(
@@ -173,6 +178,10 @@ class InterpLevelDenoiser(nn.Module):
         mask: jnp.ndarray,     # [B, T] or [B, T, mask_channels]
         cond: Optional[Dict[str, jnp.ndarray]],
         deterministic: bool = True,
+        pos_frac: Optional[jnp.ndarray] = None,  # [T] global positions in
+                               # [0,1] for this (possibly local) T slice;
+                               # default linspace assumes x_s spans the
+                               # whole sequence
     ) -> jnp.ndarray:
         B, T, D = x_s.shape
         if mask.ndim == 2:
@@ -186,7 +195,7 @@ class InterpLevelDenoiser(nn.Module):
         x = jnp.concatenate([x_s, mask_in], axis=-1).astype(self.dtype)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="in_proj")(x)
 
-        pos = jnp.linspace(0.0, 1.0, T)
+        pos = jnp.linspace(0.0, 1.0, T) if pos_frac is None else pos_frac
         pos_emb = continuous_time_embedding(pos, self.d_model).astype(self.dtype)
         h = h + pos_emb[None, :, :]
 
@@ -221,6 +230,8 @@ class InterpLevelDenoiser(nn.Module):
             causal=self.causal,
             use_remat=self.use_remat,
             dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            seq_axis=self.seq_axis,
             name="transformer",
         )(h, cond_vec, deterministic)
         # Zero-init delta head (departs from reference denoiser_interp_levels

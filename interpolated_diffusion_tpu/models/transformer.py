@@ -138,6 +138,16 @@ class TransformerBlock(nn.Module):
     causal: bool = False
     use_small_mha: bool = False
     dtype: Dtype = jnp.float32
+    # attn_impl="ring": run attention as ring attention over the mesh axis
+    # `seq_axis` — the module must then be applied INSIDE shard_map with the
+    # T axis sharded on that axis and global positions supplied by the
+    # caller (denoisers accept pos_frac). Parameter tree is identical to
+    # dense, so trained checkpoints load unchanged. "ring_sla" additionally
+    # restricts each hop to the global top-k key blocks (non-causal only;
+    # linear branch omitted — its zero-init projection contributes nothing
+    # for checkpoints trained dense). (parallel/ring.py, parallel/ring_sla.py)
+    attn_impl: str = "dense"
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(
@@ -160,7 +170,28 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = film(h, "film1")
         qkv = nn.Dense(3 * self.d_model, dtype=self.dtype, name="qkv")(h)
-        if os.environ.get("ID_TPU_PROFILE_SKIP_ATTN"):
+        if self.attn_impl in ("ring", "ring_sla"):
+            # sequence-sharded attention: L here is the LOCAL shard length
+            qkv5 = qkv.reshape(B, L, 3, H, Dh).transpose(2, 0, 3, 1, 4)
+            if self.attn_impl == "ring":
+                from ..parallel.ring import ring_self_attention
+
+                attn = ring_self_attention(
+                    qkv5[0], qkv5[1], qkv5[2], axis_name=self.seq_axis,
+                    causal=self.causal)
+            else:
+                if self.causal:
+                    raise ValueError("ring_sla attention has no causal mask")
+                from ..parallel.ring_sla import ring_sla_self_attention
+
+                o_s, _ = ring_sla_self_attention(
+                    qkv5[0].reshape(B * H, L, Dh),
+                    qkv5[1].reshape(B * H, L, Dh),
+                    qkv5[2].reshape(B * H, L, Dh),
+                    axis_name=self.seq_axis)
+                attn = o_s.reshape(B, H, L, Dh)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, L, self.d_model)
+        elif os.environ.get("ID_TPU_PROFILE_SKIP_ATTN"):
             # profiling skeleton ONLY (scripts/profile_pipeline.py): keep
             # every projection but remove the attention math, so the
             # attention share of a block is (full - skeleton). Never set in
@@ -222,6 +253,8 @@ class TransformerEncoder(nn.Module):
     causal: bool = False
     use_remat: bool = False
     dtype: Dtype = jnp.float32
+    attn_impl: str = "dense"   # see TransformerBlock.attn_impl
+    seq_axis: str = "seq"
 
     @nn.compact
     def __call__(
@@ -242,6 +275,8 @@ class TransformerEncoder(nn.Module):
                 use_film=self.use_film,
                 causal=self.causal,
                 dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                seq_axis=self.seq_axis,
                 name=f"block_{i}",
             )(x, cond, deterministic)
         return x
