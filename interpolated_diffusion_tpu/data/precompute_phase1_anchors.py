@@ -11,6 +11,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -294,6 +295,11 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     done, n_shards = 0, 0
+    # steady-state throughput telemetry (the reference logs exactly this for
+    # its precompute runs, notes/PROJECT_LOG.md:552-555,:627-629 — where
+    # SageSLA earned its 2.6×): first batch carries the jit compile, so the
+    # clock starts after it
+    t_start, n_timed = None, 0
     os.makedirs(args.out_root, exist_ok=True)
     for out_name, sample_iter in shard_groups():
         out_samples = []
@@ -305,6 +311,10 @@ def main(argv=None):
             text = jnp.stack([jnp.asarray(it["text_embed"]) for it in items])
             anchors = np.asarray(sample_anchors(k_s, idx, text))
             idx_np = np.asarray(idx)
+            if t_start is None:
+                t_start = time.time()   # post-compile
+            else:
+                n_timed += B
             for b, it in enumerate(items):
                 out_samples.append({
                     "__key__": it["__key__"],
@@ -316,8 +326,14 @@ def main(argv=None):
         if out_samples:
             write_tar_shard(os.path.join(args.out_root, out_name), out_samples)
             n_shards += 1
+    sps = (n_timed / (time.time() - t_start)
+           if t_start is not None and n_timed else None)
+    if sps:
+        print(f"steady-state throughput: {sps:.3f} samples/s "
+              f"(excl. first/compile batch)")
     with open(os.path.join(args.out_root, "prep_config.json"), "w") as f:
-        json.dump({"args": vars(args), "meta": meta}, f, indent=2, default=str)
+        json.dump({"args": vars(args), "meta": meta,
+                   "samples_per_sec": sps}, f, indent=2, default=str)
     print(f"wrote {n_shards} shards to {args.out_root}")
 
 

@@ -49,4 +49,28 @@ run_step r5_ilsc_smooth2 3600 python -m \
   --s2_delta_smooth 2 \
   --out_dir $R5/samples_ilsc_smooth2
 
+# ---- int8 SageSLA value point on the anchor-precompute path (VERDICT r4
+# #9): the int8 kernel is train-neutral but the reference's SageSLA earned
+# its 2.6x on inference-only anchor precompute (PROJECT_LOG.md:627-629).
+# A/B sla vs sage_sla at the real workload shape: K=5 anchor frames x
+# 30x52 patches = 7800 tokens, DDIM-4. Throughput lands in each run's
+# prep_config.json (samples_per_sec, steady-state).
+IP=runs/int8_precompute_r5
+run_step ip_ckpt 2400 python -m \
+  interpolated_diffusion_tpu.train.train_keypoints_wansynth \
+  --data synthetic --num_samples 8 --T 21 --K 5 \
+  --latent_c 16 --latent_h 60 --latent_w 104 --text_len 16 --text_dim 512 \
+  --use_wan 1 --wan_dim 384 --wan_layers 4 --wan_heads 6 --wan_ffn 1536 \
+  --attn_mode sla --sla_topk 0.1 --lora_rank 0 --use_remat 1 \
+  --layer_mode scan --bf16 1 --phase1_input_mode short_anchors \
+  --batch 1 --steps 2 --save_every 2 --out_dir $IP/ckpt
+if need $IP/ckpt/ckpt_2; then
+  for MODE in sla sage_sla; do
+    run_step ip_ab_$MODE 2400 python -m \
+      interpolated_diffusion_tpu.data.precompute_phase1_anchors \
+      --ckpt $IP/ckpt --out_root $IP/anchors_$MODE --data synthetic \
+      --num_samples 24 --batch 2 --ddim_steps 4 --attn_mode $MODE
+  done
+fi
+
 echo "rundown r5c done $(date -Is)"
