@@ -72,7 +72,7 @@ def small_attn_policy(default: str = "fused") -> str:
     path = os.environ.get(_ENV)
     if path:
         best = _load(path).get("small_attn", {}).get("best")
-        if best in ("fused", "full", "group", "none"):
+        if best in ("fused", "full", "group", "none", "block"):
             return best
     return os.environ.get("ID_TPU_SMALL_ATTN", default)
 

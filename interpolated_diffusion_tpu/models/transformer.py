@@ -117,6 +117,21 @@ def _blockdiag_group(H: int, L: int, max_rows: int = 128) -> int:
     return G
 
 
+def _use_fused_block_policy(H: int, L: int, causal: bool, dropout: float,
+                            attn_impl: str) -> bool:
+    """Whole-block fusion applicability (kernels/fused_block.py): the
+    small/mid-L regime where the profile shows the fusion boundary is the
+    cost; causal and sharded-attention variants keep their own paths, and
+    dropout (train-only, 0.0 in every shipped config) is unsupported
+    inside the kernel."""
+    from ..kernels.tuning import small_attn_policy
+
+    return (small_attn_policy() == "block" and not causal
+            and attn_impl == "dense" and dropout == 0.0
+            and L <= 256 and H * L <= 8192
+            and not os.environ.get("ID_TPU_PROFILE_SKIP_ATTN"))
+
+
 def _use_fused_packed(H: int, L: int, causal: bool) -> bool:
     """The round-4 Pallas batch-packed kernel's applicability window:
     mid-size rows where per-head XLA attention is micro-matmul-bound but the
@@ -166,6 +181,47 @@ class TransformerBlock(nn.Module):
             gb = nn.Dense(self.d_model * 2, dtype=self.dtype, name=name)(cond)
             gamma, beta = jnp.split(gb, 2, axis=-1)
             return h * (1.0 + gamma[:, None, :]) + beta[:, None, :]
+
+        if _use_fused_block_policy(H, L, self.causal, self.dropout,
+                                   self.attn_impl):
+            # round-5 whole-block kernel (kernels/fused_block.py): LN+FiLM+
+            # QKV+blockdiag-MHA+out-proj+FFN in ONE pallas_call, weights
+            # VMEM-resident across grid steps. Param names/shapes identical
+            # to the unfused path (the dummy calls below materialize them;
+            # their outputs are dead code XLA removes), so checkpoints are
+            # interchangeable. Policy ID_TPU_SMALL_ATTN=block.
+            from ..kernels.fused_block import fused_film_block
+            from ..kernels.tuning import fused_group_b
+
+            ln1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+            ln2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+            qkv_mod = nn.Dense(3 * self.d_model, dtype=self.dtype, name="qkv")
+            out_mod = nn.Dense(self.d_model, dtype=self.dtype, name="attn_out")
+            ff1_mod = nn.Dense(self.d_ff, dtype=self.dtype, name="ff1")
+            ff2_mod = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")
+            _ = ln2(ln1(x))
+            _ = out_mod(qkv_mod(x)[..., : self.d_model])
+            _ = ff2_mod(ff1_mod(x))
+            if self.use_film and cond is not None:
+                gb1 = nn.Dense(self.d_model * 2, dtype=self.dtype,
+                               name="film1")(cond)
+                gb2 = nn.Dense(self.d_model * 2, dtype=self.dtype,
+                               name="film2")(cond)
+                film_on = True
+            else:
+                gb1 = gb2 = jnp.zeros((B, 2 * self.d_model), self.dtype)
+                film_on = False
+            pv = lambda m: m.variables["params"]
+            return fused_film_block(
+                x.astype(self.dtype), gb1, gb2,
+                pv(ln1)["scale"], pv(ln1)["bias"],
+                pv(ln2)["scale"], pv(ln2)["bias"],
+                pv(qkv_mod)["kernel"], pv(qkv_mod)["bias"],
+                pv(out_mod)["kernel"], pv(out_mod)["bias"],
+                pv(ff1_mod)["kernel"], pv(ff1_mod)["bias"],
+                pv(ff2_mod)["kernel"], pv(ff2_mod)["bias"],
+                H, fused_group_b(L), film_on,
+            )
 
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = film(h, "film1")

@@ -93,7 +93,7 @@ if has serving; then
     run_step sv_kp 1800 python -m \
       interpolated_diffusion_tpu.train.train_keypoints \
       --dataset prepared --prepared_path $SV/prep/dp.npz --T 64 --K 8 \
-      --idx_policy uniform --steps 400 --batch 256 --out_dir $SV/kp
+      --idx_policy "uniform:1.0" --steps 400 --batch 256 --out_dir $SV/kp
     run_step sv_il 1800 python -m \
       interpolated_diffusion_tpu.train.train_interp_levels \
       --dataset prepared --prepared_path $SV/prep/dp.npz --T 64 \
