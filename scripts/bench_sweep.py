@@ -88,9 +88,10 @@ def run_one(B: int) -> float:
 
 
 def _set_policy(policy: str) -> None:
-    if policy.startswith("fused"):
-        os.environ["ID_TPU_SMALL_ATTN"] = "fused"
-        os.environ["ID_TPU_FUSED_ROWS"] = policy.split(":")[1]
+    if ":" in policy:   # "<kind>:<row target>" (fused / block)
+        kind, rows = policy.split(":")
+        os.environ["ID_TPU_SMALL_ATTN"] = kind
+        os.environ["ID_TPU_FUSED_ROWS"] = rows
     else:
         os.environ["ID_TPU_SMALL_ATTN"] = policy
         os.environ.pop("ID_TPU_FUSED_ROWS", None)
@@ -103,9 +104,10 @@ def main():
     # "fused:<rows>" = the Pallas batch-packed kernel with a G·L row target
     # (kernels/small_mha.small_mha_packed; ID_TPU_FUSED_ROWS read by
     # kernels.tuning.fused_group_b via the registry — here swept directly).
-    policies = ("fused:128", "fused:256", "fused:512", "full", "group", "none")
+    policies = ("fused:128", "fused:256", "fused:512", "full", "group",
+                "none", "block:256", "block:512", "block:1024")
     if "--quick" in sys.argv:
-        policies = ("fused:256", "fused:512", "full")
+        policies = ("fused:512", "block:256", "block:512", "block:1024")
     for policy in policies:
         _set_policy(policy)
         sps = run_one(256)
@@ -139,7 +141,7 @@ def main():
             "sweep": {f"{b}:{p}": round(s, 2)
                       for (b, p), s in sorted(results.items())},
         }
-        if kind == "fused" and ":" in best[1]:
+        if kind in ("fused", "block") and ":" in best[1]:
             reg["small_attn"]["fused_rows"] = int(best[1].split(":")[1])
         with open(path, "w") as f:
             json.dump(reg, f, indent=1)
