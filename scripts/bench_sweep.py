@@ -110,7 +110,14 @@ def main():
         policies = ("fused:512", "block:256", "block:512", "block:1024")
     for policy in policies:
         _set_policy(policy)
-        sps = run_one(256)
+        try:
+            sps = run_one(256)
+        except Exception as e:  # noqa: BLE001 — one bad policy must not
+            # kill the sweep (e.g. a kernel VMEM overflow at this config)
+            print(json.dumps({"batch": 256, "small_attn": policy,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+            continue
         results[(256, policy)] = sps
         print(json.dumps({"batch": 256, "small_attn": policy,
                           "samples_per_sec": round(sps, 2)}), flush=True)
