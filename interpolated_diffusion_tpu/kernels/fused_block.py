@@ -166,6 +166,12 @@ def _fwd_pallas(x, gb1, gb2, ln1s, ln1b, ln2s, ln2b,
     B, L, D = x.shape
     dh = D // n_heads
     F = wff1.shape[1]
+    # weight matrices enter VMEM in the computation dtype (they are cast
+    # before the matmuls anyway) — at the bench config this halves the
+    # resident weight footprint from 6.8 MB f32 to 3.4 MB bf16; biases
+    # stay f32 (added to the f32 accumulators, negligible size)
+    wqkv, wout = wqkv.astype(x.dtype), wout.astype(x.dtype)
+    wff1, wff2 = wff1.astype(x.dtype), wff2.astype(x.dtype)
     Bp = -(-B // G) * G
     if Bp != B:
         pad3 = ((0, Bp - B), (0, 0), (0, 0))
