@@ -97,6 +97,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--corrupt_sigma_min", type=float, default=0.0)
     p.add_argument("--corrupt_sigma_pow", type=float, default=1.0)
     p.add_argument("--corrupt_anchor_frac", type=float, default=0.0)
+    p.add_argument("--smooth_weight", type=float, default=0.0,
+                   help=">0: add a curvature-weighted error term "
+                        "w*mean(Δ²(delta_hat - target)²) — suppresses the "
+                        "high-frequency delta texture the accel metric "
+                        "amplifies (docs/RESULTS.md round-5)")
     p.add_argument("--corrupt_index_jitter_max", type=int, default=0)
     p.add_argument("--corrupt_index_jitter_prob", type=float, default=0.0)
     p.add_argument("--corrupt_index_jitter_pow", type=float, default=1.0)
@@ -613,6 +618,19 @@ def make_loss_fn(model: InterpLevelDenoiser, args, bootstrap_sample=None,
         else:
             w = jnp.where(weight > 0.5, args.w_anchor, args.w_missing)
         loss = (diff * w).sum() / (w.sum() * x0.shape[-1] + 1e-8)
+        if args.smooth_weight > 0:
+            # curvature-weighted error: the accel (smoothness) metric is the
+            # second difference, which amplifies exactly the high-frequency
+            # delta error the plain MSE underweights (round-4/5 finding:
+            # refined smoothness ~24x interp's from iid per-frame texture).
+            # Penalizing Δ²(residual) — not Δ²(prediction) — leaves the
+            # target's own anchor-kink curvature free.
+            r = delta_hat - target
+            d2 = r[:, 2:] - 2.0 * r[:, 1:-1] + r[:, :-2]
+            w2 = w[:, 1:-1]
+            loss = loss + args.smooth_weight * (
+                (d2 ** 2).sum(axis=-1) * w2).sum() / (
+                w2.sum() * x0.shape[-1] + 1e-8)
         return loss, {}
 
     return loss_fn
