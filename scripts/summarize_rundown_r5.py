@@ -76,6 +76,14 @@ def main():
          R5 / "samples_b16sc_smooth2/summary.json"),
         ("il, bestof16+sc + smooth2 (control)",
          R5 / "samples_ilsc_smooth2/summary.json"),
+        ("il_boot16@10k, bestof16+sc + conf0.5 + smooth4",
+         R5 / "samples_b16sc_conf05_smooth4/summary.json"),
+        ("il_boot16@10k, bestof16+sc + conf0.5 + smooth6",
+         R5 / "samples_b16sc_conf05_smooth6/summary.json"),
+        ("il_smw (+1.5k curvature loss), bestof16+sc + conf0.5",
+         R5 / "samples_smw_conf05/summary.json"),
+        ("il_smw, bestof16+sc + conf0.5 + smooth2",
+         R5 / "samples_smw_conf05_smooth2/summary.json"),
     ]
     for name, p in grid:
         print(row(name, load(p)))
