@@ -36,6 +36,19 @@ if "ID_TPU_ATTN_TUNE" not in os.environ and os.path.isfile(_REG):
     os.environ["ID_TPU_ATTN_TUNE"] = _REG
 
 B = 256
+# the on-chip policy sweep (scripts/bench_sweep.py --write_registry) also
+# records the best batch for the winning small-L policy — the tuned
+# operating point for this exact pipeline. BENCH_B env overrides.
+if os.environ.get("BENCH_B"):
+    B = int(os.environ["BENCH_B"])
+elif os.environ.get("ID_TPU_ATTN_TUNE"):
+    try:
+        with open(os.environ["ID_TPU_ATTN_TUNE"]) as _f:
+            _sweep = json.load(_f).get("small_attn", {}).get("sweep", {})
+        if _sweep:
+            B = int(max(_sweep, key=_sweep.get).split(":")[0])
+    except (OSError, ValueError):
+        pass
 T, K, LEVELS, K_MIN = 64, 8, 3, 8
 DDIM_STEPS = 20
 N_TRAIN = 100
