@@ -26,7 +26,7 @@ COMMON="--dataset prepared --T $T --use_sdf 1 --maze_h $GRID_H --maze_w $GRID_W"
 IFS='|' read -ra MIX_ARR <<< "$MIXES"
 for MIX in "${MIX_ARR[@]}"; do
   tag=$(echo "$MIX" | tr ':,.' '___')
-  OUT="$BASE/ablate_kp_${tag}"
+  OUT="$BASE/${OUT_PREFIX:-ablate_kp_}${tag}"
   SEL_ARGS=""
   case "$MIX" in *selector*) SEL_ARGS="--selector_ckpt $SELECTOR_CKPT" ;; esac
   $RUNNER interpolated_diffusion_tpu.train.train_keypoints \
@@ -57,7 +57,9 @@ python - "$BASE" <<'EOF'
 import json, pathlib, sys
 base = pathlib.Path(sys.argv[1])
 rows = []
-for d in sorted(base.glob("ablate_kp_*/samples/summary.json")):
+import os
+prefix = os.environ.get("OUT_PREFIX", "ablate_kp_")
+for d in sorted(base.glob(prefix + "*/samples/summary.json")):
     s = json.loads(d.read_text())
     rows.append((d.parent.parent.name, s))
 print(f"{'mix':44s} {'interp':>8s} {'refined':>8s} {'oracle_ref':>10s} {'succ':>6s}")
