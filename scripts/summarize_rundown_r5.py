@@ -99,6 +99,12 @@ def main():
     for d in sorted(B4.glob("ablate_kp_*/samples/summary.json")):
         print(row(d.parent.parent.name.replace("ablate_kp_", ""), load(d)))
 
+    print("\n## idx-policy-mix at the headline budget (20k steps/arm)\n")
+    print("| mix | Collision (interp / refined) | MSE-to-GT | Smoothness |")
+    print("|---|---|---|---|")
+    for d in sorted(B4.glob("ablate20k_kp_*/samples/summary.json")):
+        print(row(d.parent.parent.name.replace("ablate20k_kp_", ""), load(d)))
+
     print("\n## wansynth_tiny Stage-2 trained-scale eval\n")
     wt = load("runs/wansynth_tiny/eval_stage2/summary.json")
     print(json.dumps(wt, indent=2) if wt else "—")
