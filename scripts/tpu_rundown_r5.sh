@@ -55,7 +55,9 @@ if need $WT/p1/ckpt_600; then
     --ckpt $WT/p1/ckpt_600 --out_root $WT/anchors \
     --data tar --data_root $WT/data --batch 2 --ddim_steps 4
 fi
-if compgen -G "$WT/anchors/anchors_*.tar" > /dev/null; then
+if compgen -G "$WT/anchors/*.tar" > /dev/null; then
+  # (tar-mode precompute mirrors source basenames — shard_*.tar — for the
+  # key-join; the old anchors_*.tar glob silently skipped p2)
   run_step wt_p2 5400 python -m \
     interpolated_diffusion_tpu.train.train_interp_levels_wansynth \
     $WT_DATA $WT_WAN --T 21 --K_min 5 --levels 2 --mode adj \
