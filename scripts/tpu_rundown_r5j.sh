@@ -24,7 +24,7 @@ if compgen -G "runs/maze_q10k/kp/ckpt_*" > /dev/null; then
     --K_min 8 --levels 3 --mode adj --anchor_conf 1 --anchor_conf_anneal 1 \
     --corrupt_mode dist --corrupt_sigma_max 0.02 \
     --bootstrap_ckpt runs/maze_q10k/kp \
-    --steps 20000 --batch 256 --out_dir runs/maze_q10k/il
+    --steps 12000 --save_every 4000 --batch 256 --out_dir runs/maze_q10k/il
 fi
 if compgen -G "runs/maze_q10k/il/ckpt_*" > /dev/null; then
   run_step maze_sample_r5 1800 python -m \
